@@ -1,0 +1,117 @@
+"""Model geometry + forward-shape tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wcmc_tpu.models import KPCN, LayerNet, Multisteps, PathNet
+from wcmc_tpu.models.blocks import ConvChain, UNet
+
+
+def test_convchain_valid_shrink():
+    m = ConvChain(out_channels=8, width=16, depth=3, ksize=5, pad=False)
+    x = jnp.zeros((1, 40, 40, 4))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (1, 40 - 12, 40 - 12, 8)
+
+
+def test_unet_same_size():
+    m = UNet(out_channels=8, num_levels=3, width=8, num_convs=1)
+    x = jnp.zeros((1, 32, 32, 4))
+    y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 32, 32, 8)
+
+
+def test_pathnet_shapes():
+    m = PathNet(ic=36, outc=3)
+    x = {"paths": jnp.zeros((2, 4, 32, 32, 36))}
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 4, 32, 32, 3)
+    # relu output head: non-negative
+    assert float(np.asarray(y).min()) >= 0.0
+
+
+def test_kpcn_geometry_128_to_72():
+    """The reference's geometry contract: 128 px patch -> 72 px output
+    (reference test_models.py:218-219)."""
+    m = KPCN(n_in=34)
+    assert m.shrink == 56
+    # run at reduced size to keep the CPU test fast: 9 convs(5x5) + 21
+    # kernel -> shrink 56; use 64 px input -> 8 px output
+    b = {
+        "kpcn_diffuse_in": jnp.zeros((1, 64, 64, 34)),
+        "kpcn_specular_in": jnp.zeros((1, 64, 64, 34)),
+        "kpcn_diffuse_buffer": jnp.zeros((1, 64, 64, 3)),
+        "kpcn_specular_buffer": jnp.zeros((1, 64, 64, 3)),
+        "kpcn_albedo": jnp.zeros((1, 64, 64, 3)),
+    }
+    params = m.init(jax.random.PRNGKey(0), b)
+    out = m.apply(params, b)
+    assert out["radiance"].shape == (1, 8, 8, 3)
+    assert out["diffuse"].shape == (1, 8, 8, 3)
+    assert out["specular"].shape == (1, 8, 8, 3)
+
+
+def test_kpcn_small_kernel_full():
+    """Full KPCN forward with a small kernel for speed; recombination
+    radiance = albedo * diffuse + expm1(specular)."""
+    m = KPCN(n_in=34, ksize=5, depth=2, width=8)
+    h = 2 * 4 + 4 + 8  # conv shrink + kernel shrink + out 8
+    key = jax.random.PRNGKey(1)
+    b = {
+        "kpcn_diffuse_in": jax.random.normal(key, (1, h, h, 34)) * 0.1,
+        "kpcn_specular_in": jax.random.normal(key, (1, h, h, 34)) * 0.1,
+        "kpcn_diffuse_buffer": jnp.ones((1, h, h, 3)) * 0.5,
+        "kpcn_specular_buffer": jnp.ones((1, h, h, 3)) * 0.2,
+        "kpcn_albedo": jnp.ones((1, h, h, 3)) * 0.8,
+    }
+    params = m.init(key, b)
+    out = m.apply(params, b)
+    # constant buffers + softmax kernels => exact constants out
+    np.testing.assert_allclose(np.asarray(out["diffuse"]), 0.5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["specular"]), 0.2, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["radiance"]), 0.8 * 0.5 + np.expm1(0.2), rtol=1e-5
+    )
+
+
+def test_multisteps_shapes():
+    m = Multisteps(n_in=24, ksize=5, n_steps=2, width=16)
+    b = {
+        "radiance": jnp.ones((1, 3, 16, 16, 3)),
+        "features": jnp.zeros((1, 3, 16, 16, 24)),
+    }
+    params = m.init(jax.random.PRNGKey(0), b)
+    out = m.apply(params, b)
+    assert out.shape == (1, 16, 16, 3)
+    # constant radiance in -> constant out (weight-normalized splat)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-4)
+
+
+def test_layernet_shapes():
+    m = LayerNet(n_in=24, ksize=5, width=16, embed_width=8)
+    b = {
+        "radiance": jnp.ones((1, 3, 16, 16, 3)) * 2.0,
+        "features": jnp.zeros((1, 3, 16, 16, 24)),
+    }
+    params = m.init(jax.random.PRNGKey(0), b)
+    out = m.apply(params, b)
+    assert out.shape == (1, 16, 16, 3)
+    # layer occupancies sum to 1 and constant field is preserved
+    np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-4)
+
+
+def test_pathnet_grad_flows():
+    m = PathNet(ic=36, outc=3)
+    x = {"paths": jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 16, 36))}
+    params = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(p):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.abs(v).sum()) for v in jax.tree_util.tree_leaves(g)]
+    assert sum(norms) > 0

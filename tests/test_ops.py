@@ -1,0 +1,186 @@
+"""Kernel-apply / splat ops: XLA reference vs brute force, VJPs, and
+Pallas kernels in interpreter mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import importlib
+
+ka = importlib.import_module("wcmc_tpu.ops.kernel_apply")
+pk = importlib.import_module("wcmc_tpu.ops.pallas_kernels")
+from wcmc_tpu.ops.splat import kernel_splat, splat_normalized
+
+K = 5
+
+
+def brute_gather(buf, w, k):
+    b, H, W, c = buf.shape
+    h, ow = H - k + 1, W - k + 1
+    out = np.zeros((b, h, ow, c), np.float32)
+    for bi in range(b):
+        for y in range(h):
+            for x in range(ow):
+                for dy in range(k):
+                    for dx in range(k):
+                        out[bi, y, x] += (
+                            w[bi, y, x, dy * k + dx] * buf[bi, y + dy, x + dx]
+                        )
+    return out
+
+
+def brute_scatter(xv, w, k):
+    b, h, ow, c = xv.shape
+    H, W = h + k - 1, ow + k - 1
+    out = np.zeros((b, H, W, c), np.float32)
+    for bi in range(b):
+        for y in range(h):
+            for x in range(ow):
+                for dy in range(k):
+                    for dx in range(k):
+                        out[bi, y + dy, x + dx] += (
+                            w[bi, y, x, dy * k + dx] * xv[bi, y, x]
+                        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def data(rng):
+    b, H, W, c = 2, 12, 11, 3
+    h, ow = H - K + 1, W - K + 1
+    buf = rng.standard_normal((b, H, W, c)).astype(np.float32)
+    w = rng.standard_normal((b, h, ow, K * K)).astype(np.float32)
+    x = rng.standard_normal((b, h, ow, c)).astype(np.float32)
+    return buf, w, x
+
+
+def test_gather_xla_matches_brute(data):
+    buf, w, _ = data
+    out = np.asarray(ka._gather_xla(jnp.asarray(buf), jnp.asarray(w), K))
+    np.testing.assert_allclose(out, brute_gather(buf, w, K), rtol=1e-4, atol=1e-4)
+
+
+def test_scatter_xla_matches_brute(data):
+    buf, w, x = data
+    out = np.asarray(ka._scatter_xla(jnp.asarray(x), jnp.asarray(w), K))
+    np.testing.assert_allclose(out, brute_scatter(x, w, K), rtol=1e-4, atol=1e-4)
+
+
+def test_gather_scatter_adjoint(data):
+    """<gather(buf, w), g> == <buf, scatter(g, w)> — the defining
+    adjoint identity behind the custom VJPs."""
+    buf, w, x = data
+    g = np.random.default_rng(0).standard_normal(x.shape).astype(np.float32)
+    lhs = np.sum(np.asarray(ka._gather_xla(jnp.asarray(buf), jnp.asarray(w), K)) * g)
+    rhs = np.sum(np.asarray(ka._scatter_xla(jnp.asarray(g), jnp.asarray(w), K)) * buf)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_gather_custom_vjp_matches_autodiff(data):
+    buf, w, _ = data
+    bufj, wj = jnp.asarray(buf), jnp.asarray(w)
+
+    def f_custom(b_, w_):
+        return jnp.sum(ka.kernel_gather(b_, w_, K) ** 2)
+
+    def f_auto(b_, w_):
+        return jnp.sum(ka._gather_xla(b_, w_, K) ** 2)
+
+    g1 = jax.grad(f_custom, argnums=(0, 1))(bufj, wj)
+    g2 = jax.grad(f_auto, argnums=(0, 1))(bufj, wj)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), rtol=1e-3, atol=1e-4)
+
+
+def test_scatter_custom_vjp_matches_autodiff(data):
+    _, w, x = data
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+
+    def f_custom(x_, w_):
+        return jnp.sum(ka.kernel_scatter(x_, w_, K) ** 2)
+
+    def f_auto(x_, w_):
+        return jnp.sum(ka._scatter_xla(x_, w_, K) ** 2)
+
+    g1 = jax.grad(f_custom, argnums=(0, 1))(xj, wj)
+    g2 = jax.grad(f_auto, argnums=(0, 1))(xj, wj)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), rtol=1e-3, atol=1e-4)
+
+
+def test_kernel_apply_softmax_partition_of_unity(data):
+    """With softmax kernels, applying to a constant buffer returns the
+    constant (weights sum to 1)."""
+    buf, w, _ = data
+    const = jnp.ones_like(jnp.asarray(buf)) * 2.5
+    out = ka.kernel_apply(const, jnp.asarray(w), K, softmax=True)
+    np.testing.assert_allclose(np.asarray(out), 2.5, rtol=1e-5)
+
+
+def test_splat_normalized_constant_preservation(rng):
+    """Weight-normalized splat of a constant field returns the constant."""
+    b, s, h, w = 1, 3, 10, 10
+    vals = jnp.ones((b, s, h, w, 3)) * 4.0
+    weights = jnp.asarray(
+        rng.random((b, s, h, w, K * K)).astype(np.float32) + 0.1
+    )
+    out = splat_normalized(vals, weights, K)
+    np.testing.assert_allclose(np.asarray(out), 4.0, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kernel_h", [8, 11])
+def test_pallas_gather_interpret_matches_xla(rng, kernel_h):
+    """Pallas kernel logic (interpreter mode) vs XLA reference,
+    including a non-divisible row-tile count."""
+    pk.INTERPRET = True
+    try:
+        b, H, W, c = 2, kernel_h + K - 1, 16, 3
+        buf = jnp.asarray(rng.standard_normal((b, H, W, c)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((b, kernel_h, W - K + 1, K * K)).astype(np.float32)
+        )
+        out_p = pk.gather_tpu(buf, w, K)
+        out_x = ka._gather_xla(buf, w, K)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        pk.INTERPRET = False
+
+
+@pytest.mark.parametrize("kernel_h", [8, 11])
+def test_pallas_scatter_interpret_matches_xla(rng, kernel_h):
+    pk.INTERPRET = True
+    try:
+        b, c = 2, 3
+        h, ow = kernel_h, 16
+        x = jnp.asarray(rng.standard_normal((b, h, ow, c)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((b, h, ow, K * K)).astype(np.float32)
+        )
+        out_p = pk.scatter_tpu(x, w, K)
+        out_x = ka._scatter_xla(x, w, K)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        pk.INTERPRET = False
+
+
+@pytest.mark.parametrize("kernel_h", [8, 11])
+def test_pallas_outer_interpret_matches_xla(rng, kernel_h):
+    pk.INTERPRET = True
+    try:
+        b, c = 2, 3
+        h, ow = kernel_h, 12
+        H, W = h + K - 1, ow + K - 1
+        g = jnp.asarray(rng.standard_normal((b, h, ow, c)).astype(np.float32))
+        buf = jnp.asarray(rng.standard_normal((b, H, W, c)).astype(np.float32))
+        out_p = pk.outer_tpu(g, buf, K)
+        out_x = ka._outer_xla(g, buf, K)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        pk.INTERPRET = False

@@ -1,0 +1,113 @@
+"""Reusable Flax building blocks (channels-last, NHWC).
+
+TPU-native counterparts of the conv-stack / U-Net primitives the
+reference imports from the external ``sbmc.modules`` package
+(reference support/networks.py:5,18-24): a plain convolution chain and
+a symmetric encoder/decoder with skip connections.  Convolutions carry
+``preferred_element_type=float32`` accumulation via Flax defaults and
+map straight onto the MXU; ``VALID`` chains shrink deterministically so
+all crop bookkeeping stays static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "linear": lambda x: x,
+    "relu": nn.relu,
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+    "elu": nn.elu,
+}
+
+
+class ConvChain(nn.Module):
+    """``depth`` stacked convolutions; hidden activations ReLU, output
+    activation configurable.
+
+    shrink per conv (``pad=False``): ``ksize - 1`` pixels.
+    """
+
+    out_channels: int
+    width: int = 64
+    depth: int = 3
+    ksize: int = 3
+    pad: bool = False
+    output_type: str = "linear"
+    hidden_activation: str = "relu"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        padding = "SAME" if self.pad else "VALID"
+        act = _ACTIVATIONS[self.hidden_activation]
+        for _ in range(self.depth - 1):
+            x = nn.Conv(
+                self.width, (self.ksize, self.ksize), padding=padding,
+                dtype=self.dtype,
+            )(x)
+            x = act(x)
+        x = nn.Conv(
+            self.out_channels, (self.ksize, self.ksize), padding=padding,
+            dtype=self.dtype,
+        )(x)
+        return _ACTIVATIONS[self.output_type](x)
+
+    @staticmethod
+    def shrink(depth: int, ksize: int, pad: bool) -> int:
+        return 0 if pad else depth * (ksize - 1)
+
+
+class UNet(nn.Module):
+    """Symmetric encoder/decoder ("Autoencoder" in the reference's
+    upstream naming) with max-pool downsampling, nearest upsampling and
+    skip concatenation.  ``SAME`` padding: output matches input size
+    (spatial dims must be divisible by ``2**(num_levels - 1)``).
+    """
+
+    out_channels: int
+    num_levels: int = 3
+    increase_factor: float = 2.0
+    num_convs: int = 3
+    width: int = 64
+    ksize: int = 3
+    output_type: str = "leaky_relu"
+    pooling: str = "max"
+    dtype: jnp.dtype | None = None
+
+    def _convs(self, x, width, n):
+        for _ in range(n):
+            x = nn.Conv(width, (self.ksize, self.ksize), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        return x
+
+    @nn.compact
+    def __call__(self, x):
+        widths = [
+            int(self.width * self.increase_factor**lvl)
+            for lvl in range(self.num_levels)
+        ]
+        skips = []
+        for lvl in range(self.num_levels - 1):
+            x = self._convs(x, widths[lvl], self.num_convs)
+            skips.append(x)
+            if self.pooling == "max":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        x = self._convs(x, widths[-1], self.num_convs)
+
+        for lvl in reversed(range(self.num_levels - 1)):
+            b, h, w, c = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = jnp.concatenate([x, skips[lvl]], axis=-1)
+            x = self._convs(x, widths[lvl], self.num_convs)
+
+        x = nn.Conv(self.out_channels, (self.ksize, self.ksize),
+                    padding="SAME", dtype=self.dtype)(x)
+        return _ACTIVATIONS[self.output_type](x)

@@ -1,0 +1,83 @@
+"""KPCN — kernel-predicting convolutional network (diffuse/specular).
+
+TPU-native rebuild of the [Bako 2017] backbone the reference imports
+from the external ``sbmc`` package (reference train_kpcn.py:30,213,229).
+Observable contract reproduced exactly:
+
+* ``forward(batch)`` reads ``kpcn_diffuse_in`` / ``kpcn_specular_in`` /
+  ``kpcn_diffuse_buffer`` / ``kpcn_specular_buffer`` / ``kpcn_albedo``
+  and returns ``{'radiance', 'diffuse', 'specular'}``
+  (reference interfaces.py:203-211);
+* geometry: 9 stacked 5x5 VALID convs (-36 px) + 21x21 valid softmax
+  kernel application (-20 px) => a 128 px patch yields a 72 px output
+  (reference test_models.py:218-219);
+* recombination ``diffuse * albedo + exp(specular) - 1``
+  (reference datasets.py:1236).
+
+The kernel application runs through the Pallas gather op on TPU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wcmc_tpu.models.blocks import ConvChain
+from wcmc_tpu.ops.kernel_apply import kernel_apply
+from wcmc_tpu.utils.utils import crop_like
+
+
+def pad_like(kernels, ksize):
+    """Shape token: the buffer extent matching a kernel grid —
+    kernels' spatial size + (ksize - 1) on each axis."""
+    b, h, w, _ = kernels.shape
+    return jnp.zeros((b, h + ksize - 1, w + ksize - 1, 1))
+
+
+class KPCN(nn.Module):
+    n_in: int
+    ksize: int = 21
+    depth: int = 9
+    width: int = 100
+
+    @property
+    def shrink(self) -> int:
+        """Total spatial shrink: conv chain + valid kernel window."""
+        return self.depth * 4 + (self.ksize - 1)
+
+    @nn.compact
+    def __call__(self, batch: dict) -> dict:
+        k_diffuse = ConvChain(
+            self.ksize**2, width=self.width, depth=self.depth, ksize=5,
+            pad=False, name="diffuse",
+        )(batch["kpcn_diffuse_in"])
+        k_specular = ConvChain(
+            self.ksize**2, width=self.width, depth=self.depth, ksize=5,
+            pad=False, name="specular",
+        )(batch["kpcn_specular_in"])
+
+        # Valid-window geometry: keep only kernel positions whose full
+        # K x K window lies inside the conv-output grid.  The buffers
+        # are center-cropped to that grid, the kernels lose K-1 more
+        # pixels, and gather aligns each output pixel with the window
+        # centered on it (total shrink: 4*depth + ksize - 1 = 56 for
+        # the 128 -> 72 reference contract, test_models.py:218-219).
+        r = self.ksize // 2
+        k_diffuse = k_diffuse[:, r:-r, r:-r, :]
+        k_specular = k_specular[:, r:-r, r:-r, :]
+        b_diffuse = crop_like(batch["kpcn_diffuse_buffer"], pad_like(k_diffuse, self.ksize))
+        b_specular = crop_like(batch["kpcn_specular_buffer"], pad_like(k_specular, self.ksize))
+
+        r_diffuse = kernel_apply(b_diffuse, k_diffuse, self.ksize, softmax=True)
+        r_specular = kernel_apply(b_specular, k_specular, self.ksize, softmax=True)
+
+        albedo = crop_like(batch["kpcn_albedo"], r_diffuse)
+        radiance = albedo * r_diffuse + jnp.expm1(r_specular)
+        return {
+            "radiance": radiance,
+            "diffuse": r_diffuse,
+            "specular": r_specular,
+        }
+
+    def __str__(self):
+        return f"KPCN i{self.n_in} k{self.ksize} d{self.depth} w{self.width}"

@@ -1,0 +1,105 @@
+"""LBMC "LayerNet" — layer-embedding denoiser.
+
+TPU-native rebuild of the [Munkberg & Hasselgren 2020] backbone the
+reference imports from the external NDLE package (reference
+train_lbmc.py:30-38,84,93).  Observable contract reproduced: built as
+``LayerNet(n_in, tonemap, True)`` and driven through the same
+sample-space interface as SBMC — input ``{'radiance' (B,S,H,W,3),
+'features' (B,S,H,W,C)}``, output ``(B,H,W,3)`` at the same size
+(reference interfaces.py:753-839).
+
+Design: per-sample embedding predicts soft assignments into
+``num_layers`` depth layers; samples are averaged per layer (radiance +
+features); a joint U-Net over the layer stack predicts per-layer K x K
+reconstruction kernels; per-layer filtered radiance is summed, weighted
+by each layer's sample occupancy.  Kernels are applied via the shared
+gather op (Pallas on TPU) on edge-padded layer radiance so the output
+keeps the input size.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wcmc_tpu.models.blocks import ConvChain, UNet
+from wcmc_tpu.ops.kernel_apply import kernel_apply
+
+
+def _default_tonemap(x):
+    return jnp.log1p(jnp.maximum(x, 0.0))
+
+
+class LayerNet(nn.Module):
+    n_in: int
+    tonemap: Callable = _default_tonemap
+    splat: bool = True          # kept for constructor parity
+    num_layers: int = 2
+    ksize: int = 13
+    width: int = 96
+    embed_width: int = 32
+
+    @nn.compact
+    def __call__(self, batch: dict) -> jnp.ndarray:
+        radiance = batch["radiance"]
+        features = batch["features"]
+        b, s, h, w, f = features.shape
+        assert f == self.n_in, f"LayerNet expects {self.n_in} channels, got {f}"
+        tm_rad = self.tonemap(radiance)
+
+        flat = jnp.concatenate(
+            [features, tm_rad], axis=-1
+        ).reshape(b * s, h, w, f + 3)
+        emb = ConvChain(
+            self.embed_width, width=self.embed_width, depth=3, ksize=1,
+            pad=False, output_type="leaky_relu",
+            hidden_activation="leaky_relu", name="embedding",
+        )(flat)
+        layer_logits = nn.Conv(self.num_layers, (1, 1), name="layer_head")(emb)
+        lw = nn.softmax(
+            layer_logits.reshape(b, s, h, w, self.num_layers), axis=-1
+        )
+
+        # Per-layer weighted averages over the sample axis.
+        layer_feats, layer_rads, occupancy = [], [], []
+        emb = emb.reshape(b, s, h, w, self.embed_width)
+        for l in range(self.num_layers):
+            wl = lw[..., l:l + 1]                       # (B,S,H,W,1)
+            wsum = wl.sum(axis=1)                       # (B,H,W,1)
+            inv = 1.0 / (wsum + 1e-6)
+            layer_rads.append((wl * tm_rad).sum(axis=1) * inv)
+            layer_feats.append((wl * emb).sum(axis=1) * inv)
+            occupancy.append(wsum / s)
+
+        ctx = jnp.concatenate(layer_rads + layer_feats + occupancy, axis=-1)
+        head = UNet(
+            self.width, num_levels=3, increase_factor=2.0, num_convs=2,
+            width=self.width, ksize=3, output_type="leaky_relu",
+            pooling="max", name="context",
+        )(ctx)
+        kernels = nn.Conv(
+            self.num_layers * self.ksize**2, (1, 1), name="kernel_head"
+        )(head)
+
+        r = self.ksize // 2
+        out = jnp.zeros((b, h, w, 3), radiance.dtype)
+        # Filter *linear* per-layer radiance so the composite stays linear.
+        for l in range(self.num_layers):
+            wl = lw[..., l:l + 1]
+            wsum = wl.sum(axis=1)
+            lin_rad = (wl * radiance).sum(axis=1) / (wsum + 1e-6)
+            padded = jnp.pad(
+                lin_rad, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge"
+            )
+            k_l = kernels[..., l * self.ksize**2:(l + 1) * self.ksize**2]
+            filtered = kernel_apply(padded, k_l, self.ksize, softmax=True)
+            out = out + filtered * (wsum / s)
+        return out
+
+    def __str__(self):
+        return (
+            f"LayerNet i{self.n_in} L{self.num_layers} k{self.ksize} "
+            f"w{self.width}"
+        )

@@ -1,0 +1,198 @@
+"""Pallas TPU kernels for per-pixel kernel application.
+
+Performance model (v5e: ~820 GB/s HBM, 8x128 VPU): these ops are
+bandwidth-bound on the K^2-channel weight tensor (arithmetic intensity
+~0.75 flop/byte), so each kernel is designed to read/write the weight
+tensor exactly once from HBM while the small radiance buffer
+(C=3 x H x W, <=200 KB for a 128 training patch) stays resident in
+VMEM across all row-tiles of an image.
+
+Internal layout is channel-major (``C, H, W`` / ``K^2, h, w``) so the
+vector unit operates on (rows=sublanes, width=lanes) tiles at full lane
+occupancy; the public wrappers transpose from the framework's NHWC.
+
+Scatter (splat) avoids overlapping-window reads of the big weight
+tensor by factorizing into a row-aligned Pallas pass (x-direction taps,
+reads weights once, emits a K-channel strip tensor ~14% the weight
+size) plus a K-term y-shift reduction in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Test hook: run kernels in interpreter mode (CPU-correct).
+INTERPRET = False
+
+_DEF_TILE_ROWS = 8
+
+
+def _tile_rows(h: int) -> int:
+    return min(_DEF_TILE_ROWS, h)
+
+
+def _to_cmajor(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _to_nhwc(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _pad_rows(x, rows: int):
+    """Zero-pad axis 2 (rows, channel-major layout) up to ``rows`` so
+    in-kernel dynamic slices never clamp (a clamped start would
+    misalign every row of the final partial tile)."""
+    if x.shape[2] >= rows:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[2] = (0, rows - x.shape[2])
+    return jnp.pad(x, pad)
+
+
+# ---------------------------------------------------------------------------
+# gather: out[p, c] = sum_d w[p, d] * buf[p + d, c]
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(buf_ref, w_ref, out_ref, *, ksize, tile_rows, out_w):
+    i = pl.program_id(1)
+    c = buf_ref.shape[1]
+    acc = jnp.zeros((c, tile_rows, out_w), jnp.float32)
+    for dy in range(ksize):
+        slab = buf_ref[0, :, pl.ds(i * tile_rows + dy, tile_rows), :]
+        for dx in range(ksize):
+            tap = w_ref[0, dy * ksize + dx, :, :]
+            acc = acc + tap[None, :, :] * slab[:, :, dx:dx + out_w]
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def gather_tpu(buf, w, ksize):
+    """buf (B,H,W,C), w (B,h,w,K^2) -> (B,h,w,C); h = H-K+1."""
+    b, H, W, c = buf.shape
+    h, ow = H - ksize + 1, W - ksize + 1
+    th = _tile_rows(h)
+    n_tiles = -(-h // th)
+    Hp = n_tiles * th + ksize - 1
+    buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
+    w_t = _to_cmajor(w).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_kernel, ksize=ksize, tile_rows=th, out_w=ow
+        ),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, Hp, W), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ksize * ksize, th, ow),
+                         lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, th, ow), lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, ow), jnp.float32),
+        interpret=INTERPRET,
+    )(buf_t, w_t)
+    return _to_nhwc(out).astype(buf.dtype)
+
+
+# ---------------------------------------------------------------------------
+# scatter (splat): out[q, c] = sum_d w[q - d, d] * x[q - d, c]
+# ---------------------------------------------------------------------------
+
+def _scatter_rows_kernel(x_ref, w_ref, s_ref, *, ksize, in_w):
+    """Row-aligned pass: s[dy, c, y, X] = sum_dx w[y, dy*K+dx] * x[y, X-dx]."""
+    c = x_ref.shape[1]
+    th = x_ref.shape[2]
+    out_w = in_w + ksize - 1
+    x_slab = x_ref[0]                     # (C, TH, in_w)
+    for dy in range(ksize):
+        acc = jnp.zeros((c, th, out_w), jnp.float32)
+        for dx in range(ksize):
+            tap = w_ref[0, dy * ksize + dx, :, :]       # (TH, in_w)
+            contrib = tap[None, :, :] * x_slab          # (C, TH, in_w)
+            acc = acc.at[:, :, dx:dx + in_w].add(contrib)
+        s_ref[0, dy] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def scatter_tpu(x, w, ksize):
+    """x (B,h,w,C), w (B,h,w,K^2) -> (B,H,W,C); H = h+K-1."""
+    b, h, iw, c = x.shape
+    H, W = h + ksize - 1, iw + ksize - 1
+    th = _tile_rows(h)
+    x_t = _to_cmajor(x).astype(jnp.float32)
+    w_t = _to_cmajor(w).astype(jnp.float32)
+
+    s = pl.pallas_call(
+        functools.partial(_scatter_rows_kernel, ksize=ksize, in_w=iw),
+        grid=(b, pl.cdiv(h, th)),
+        in_specs=[
+            pl.BlockSpec((1, c, th, iw), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ksize * ksize, th, iw),
+                         lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ksize, c, th, W),
+                               lambda bi, i: (bi, 0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ksize, c, h, W), jnp.float32),
+        interpret=INTERPRET,
+    )(x_t, w_t)
+
+    # y-direction reduction: out[Y] = sum_dy s[dy, Y - dy]
+    out = jnp.zeros((b, c, H, W), jnp.float32)
+    for dy in range(ksize):
+        out = out.at[:, :, dy:dy + h, :].add(s[:, dy])
+    return _to_nhwc(out).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# outer: dw[p, d] = sum_c g[p, c] * buf[p + d, c]
+# ---------------------------------------------------------------------------
+
+def _outer_kernel(g_ref, buf_ref, dw_ref, *, ksize, tile_rows, out_w):
+    i = pl.program_id(1)
+    g_slab = g_ref[0, :, pl.ds(i * tile_rows, tile_rows), :out_w]  # (C,TH,ow)
+    for dy in range(ksize):
+        slab = buf_ref[0, :, pl.ds(i * tile_rows + dy, tile_rows), :]
+        for dx in range(ksize):
+            prod = g_slab * slab[:, :, dx:dx + out_w]
+            dw_ref[0, dy * ksize + dx] = jnp.sum(prod, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def outer_tpu(g, buf, ksize):
+    """g (B,h,w,C), buf (B,H,W,C) -> (B,h,w,K^2)."""
+    b, h, ow, c = g.shape
+    H, W = buf.shape[1], buf.shape[2]
+    th = _tile_rows(h)
+    n_tiles = -(-h // th)
+    hp = n_tiles * th
+    Hp = hp + ksize - 1
+    g_t = _pad_rows(_to_cmajor(g).astype(jnp.float32), hp)
+    buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
+
+    dw = pl.pallas_call(
+        functools.partial(_outer_kernel, ksize=ksize, tile_rows=th, out_w=ow),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, hp, ow), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, Hp, W), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ksize * ksize, th, ow),
+                               lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ksize * ksize, h, ow), jnp.float32),
+        interpret=INTERPRET,
+    )(g_t, buf_t)
+    return _to_nhwc(dw).astype(g.dtype)

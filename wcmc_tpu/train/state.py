@@ -1,0 +1,72 @@
+"""Functional per-model training state.
+
+The reference couples each model with a torch optimizer object inside
+an "interface" (reference interfaces.py:18-33).  Here state is an
+explicit pytree — ``(params, opt_state)`` — so a whole dict of model
+states threads through one jitted, donated train step and shards
+transparently under a mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class ModelState:
+    params: Any
+    opt_state: Any
+
+
+def init_model_state(module, sample_batch, tx, key=None) -> ModelState:
+    key = key if key is not None else jax.random.PRNGKey(0)
+    params = module.init(key, sample_batch)["params"]
+    return ModelState(params=params, opt_state=tx.init(params))
+
+
+def adam_with_clip(lr, clip_value: float | None = None,
+                   clip_norm: float | None = None):
+    """Adam preceded by the reference's gradient clipping flavor
+    (value clip for KPCN, global-norm clip for SBMC/LBMC;
+    reference interfaces.py:261,454-458,826-832).
+
+    The learning rate is injected as a mutable hyperparameter so epoch
+    schedulers (e.g. LBMC's StepLR) can update it in place.
+    """
+    chain = []
+    if clip_value is not None:
+        chain.append(optax.clip(clip_value))
+    if clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    chain.append(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+    return optax.chain(*chain)
+
+
+def set_learning_rate(opt_state, lr):
+    """Update the injected learning rate inside an optimizer state tree."""
+    def _set(s):
+        if isinstance(s, optax.InjectStatefulHyperparamsState) or hasattr(
+            s, "hyperparams"
+        ):
+            s.hyperparams["learning_rate"] = jnp.asarray(lr)
+        return s
+
+    for sub in opt_state:
+        _set(sub)
+    return opt_state
+
+
+def get_learning_rate(opt_state):
+    for sub in opt_state:
+        if hasattr(sub, "hyperparams"):
+            return float(sub.hyperparams["learning_rate"])
+    return None
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
