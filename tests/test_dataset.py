@@ -1,0 +1,142 @@
+"""Disk pipeline: offline preprocessing cache, patch datasets, loaders,
+full-image tiling (reference support/datasets.py contracts)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from wcmc_tpu.data import schema
+from wcmc_tpu.data.dataset import (
+    BatchLoader,
+    DenoiseDataset,
+    MSDenoiseDataset,
+    offline_preprocess,
+)
+from wcmc_tpu.data.full_image import PAD_SIZE, FullImageDataset
+from wcmc_tpu.data.synthetic import synthetic_ground_truth, synthetic_raw_sample
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Tiny on-disk synthetic dataset + preprocessing caches."""
+    root = tmp_path_factory.mktemp("synth")
+    rng = np.random.default_rng(0)
+    size, spp = 192, 4
+    for mode, count in (("train", 2), ("val", 1), ("test", 1)):
+        gt_dir = root / mode / "gt"
+        in_dir = root / mode / "input"
+        gt_dir.mkdir(parents=True)
+        in_dir.mkdir(parents=True)
+        for i in range(count):
+            gt = synthetic_ground_truth(rng, size, size)
+            raw, _ = synthetic_raw_sample(rng, size, size, spp, gt=gt,
+                                          nan_fraction=1e-5)
+            np.save(gt_dir / f"scene{i}.npy", gt)
+            np.save(in_dir / f"scene{i}.npy", raw)
+            if mode == "test":
+                extra, _ = synthetic_raw_sample(rng, size, size, spp, gt=gt)
+                np.save(in_dir / f"scene{i}_1.npy", extra)
+    for mode in ("train", "val", "test"):
+        offline_preprocess(str(root), mode=mode, spp=spp,
+                           test_spps=(2, 4, 8))
+    return str(root)
+
+
+def test_cache_files_written(data_root):
+    in_dir = os.path.join(data_root, "train", "input")
+    files = os.listdir(in_dir)
+    assert "scene0_llpm.npy" in files
+    assert "scene0_sbmc_s.npy" in files
+    assert "scene0_sbmc_p.npy" in files
+    assert "scene0_kpcn_4.npy" in files
+    assert "scene0_kpcn_2.npy" in files
+    assert "scene0_prob_imp.npy" in files
+    prob = np.load(os.path.join(in_dir, "scene0_prob_imp.npy"))
+    assert prob.shape == (192 - 128, 192 - 128)
+    assert abs(prob.sum() - 1.0) < 1e-3
+    # test mode gets 8-spp buffer from concatenated parts
+    test_in = os.path.join(data_root, "test", "input")
+    assert "scene0_kpcn_8.npy" in os.listdir(test_in)
+
+
+def test_kpcn_dataset_patches(data_root):
+    ds = DenoiseDataset(data_root, 4, "kpcn", "train", batch_size=4,
+                        use_llpm_buf=True)
+    assert ds.dncnn_in_size == 34 + 3 + 2
+    patch = ds[0]
+    assert patch["kpcn_diffuse_in"].shape == (128, 128, 35)
+    assert patch["kpcn_specular_in"].shape == (128, 128, 35)
+    assert patch["paths"].shape == (4, 128, 128, 36)
+    assert patch["target_total"].shape == (128, 128, 3)
+    # second patch from the same image uses the cached cut
+    patch2 = ds[1]
+    assert patch2["kpcn_albedo"].shape == (128, 128, 3)
+
+
+def test_sbmc_dataset_patches(data_root):
+    ds = DenoiseDataset(data_root, 4, "sbmc", "train", batch_size=4,
+                        use_sbmc_buf=True, use_llpm_buf=False)
+    patch = ds[0]
+    assert patch["radiance"].shape == (4, 128, 128, 3)
+    assert patch["features"].shape == (4, 128, 128, 24 + 66)
+    assert patch["target_image"].shape == (128, 128, 3)
+
+
+def test_lbmc_dataset_maps_to_sbmc_g_only(data_root):
+    ds = DenoiseDataset(data_root, 4, "lbmc", "train", batch_size=4)
+    patch = ds[0]
+    assert patch["features"].shape == (4, 128, 128, 24)
+    assert ds.dncnn_in_size == 24
+
+
+def test_multispp_dataset(data_root):
+    ds = MSDenoiseDataset(data_root, 4, "kpcn", "train", batch_size=4)
+    # spp 2..4 -> 3 sub-datasets
+    assert len(ds.datasets) == 3
+    assert len(ds) == sum(len(d) for d in ds.datasets)
+    first = ds[0]
+    last = ds[len(ds) - 1]
+    assert first["kpcn_diffuse_in"].shape == last["kpcn_diffuse_in"].shape
+
+
+def test_batch_loader_collates(data_root):
+    ds = DenoiseDataset(data_root, 4, "kpcn", "val", batch_size=2,
+                        sampling="grid")
+    loader = BatchLoader(ds, batch_size=2)
+    batch = next(iter(loader))
+    assert batch["kpcn_diffuse_in"].shape == (2, 128, 128, 34)
+    assert len(loader) == len(ds) // 2
+
+
+def test_full_image_dataset_tiling(data_root):
+    fn = os.path.join(data_root, "test", "input", "scene0.npy")
+    ds = FullImageDataset(fn, 4, "kpcn", use_llpm_buf=True)
+    assert ds.h == 192 and ds.w == 192
+    stride = 128 - 2 * PAD_SIZE
+    n = ((192 - 2 * PAD_SIZE) // stride) ** 2
+    assert len(ds) == n
+    tile, coords = ds[0]
+    assert tile["kpcn_diffuse_in"].shape == (128, 128, 35)
+    assert ds.has_hit.shape == (192, 192, 3)
+    # interior coords cover the full frame exactly once
+    canvas = np.zeros((192, 192), np.int32)
+    for i in range(len(ds)):
+        _, (i0, j0, i1, j1, _, _) = ds[i]
+        canvas[i0:i1, j0:j1] += 1
+    assert (canvas == 1).all()
+
+
+def test_full_image_multispp_parts(data_root):
+    fn = os.path.join(data_root, "test", "input", "scene0.npy")
+    ds = FullImageDataset(fn, 8, "sbmc", use_sbmc_buf=True)
+    tile, _ = ds[0]
+    assert tile["radiance"].shape == (8, 128, 128, 3)
+
+
+def test_grid_sampling_deterministic(data_root):
+    ds1 = DenoiseDataset(data_root, 4, "kpcn", "val", sampling="grid")
+    ds2 = DenoiseDataset(data_root, 4, "kpcn", "val", sampling="grid")
+    np.testing.assert_array_equal(
+        ds1[0]["kpcn_diffuse_in"], ds2[0]["kpcn_diffuse_in"]
+    )

@@ -110,6 +110,37 @@ def test_feature_mse_hls_mode_finite():
     assert np.isfinite(float(loss))
 
 
+def test_roll_pairing_statistically_matches_permutation():
+    """The layout-friendly roll pairing must produce the same loss
+    statistics as the reference's full random permutation."""
+    key0 = jax.random.PRNGKey(0)
+    p = jax.random.uniform(key0, (2, 4, 8, 8, 3))
+    ref = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3)) * 2.0
+
+    def collect(pairing, n=24):
+        vals = []
+        for i in range(n):
+            k = jax.random.PRNGKey(100 + i)
+            vals.append(float(losses.feature_mse(k, p, ref, pairing=pairing)))
+        return np.asarray(vals)
+
+    roll = collect("roll")
+    perm = collect("permutation")
+    assert abs(roll.mean() - perm.mean()) < 4 * perm.std() / np.sqrt(len(perm)) + 1e-4, (
+        roll.mean(), perm.mean(), perm.std(),
+    )
+
+
+def test_pairing_shuffle_is_a_permutation():
+    """_shuffle must be a bijection on positions (no lost/duplicated rows)."""
+    n = 24
+    x = jnp.arange(n, dtype=jnp.float32).reshape(1, n, 1)
+    out = losses._shuffle(x, jax.random.PRNGKey(3), "roll")
+    assert sorted(np.asarray(out).ravel().tolist()) == list(range(n))
+    out2 = losses._shuffle(x, jax.random.PRNGKey(4), "permutation")
+    assert sorted(np.asarray(out2).ravel().tolist()) == list(range(n))
+
+
 def test_make_manifold_loss():
     assert losses.make_manifold_loss("FMSE") is not None
     assert losses.make_manifold_loss("GRS") is not None

@@ -1,0 +1,122 @@
+"""LBMC training entry point (flag-compatible rebuild of reference
+train_lbmc.py; StepLR(step=3, gamma=0.5) on the denoiser as in
+reference train_lbmc.py:196-198).
+
+Example (reference train_lbmc.py:222-231):
+    python train_lbmc.py --single_gpu --batch_size 8 --val_epoch 1 \
+        --data_dir <root> --model_name LBMC_vanilla --desc "LBMC_vanilla" \
+        --num_epoch 6
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from wcmc_tpu.cli import (
+    BasicArgumentParser,
+    add_common_train_flags,
+    add_manifold_flags,
+    validate_manifold_flags,
+)
+from wcmc_tpu.data.dataset import BatchLoader, MSDenoiseDataset
+from wcmc_tpu.train.checkpoint import load_checkpoint, restore_interface
+from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+from wcmc_tpu.train.loop import step_lr, train
+
+BS_VAL = 4
+
+
+def init_data(args):
+    datasets = {
+        "train": MSDenoiseDataset(
+            args.data_dir, 8, "lbmc", "train", args.batch_size, "random",
+            use_g_buf=True, use_sbmc_buf=False,
+            use_llpm_buf=args.use_llpm_buf, pnet_out_size=0, seed=args.seed,
+            patches_per_image=args.patches_per_image,
+        ),
+        "val": MSDenoiseDataset(
+            args.data_dir, 8, "lbmc", "val", BS_VAL, "grid",
+            use_g_buf=True, use_sbmc_buf=False,
+            use_llpm_buf=args.use_llpm_buf, pnet_out_size=0, seed=args.seed,
+            patches_per_image=args.patches_per_image,
+        ),
+    }
+    dataloaders = {
+        "train": BatchLoader(datasets["train"], args.batch_size),
+        "val": BatchLoader(datasets["val"], BS_VAL),
+    }
+    return datasets, dataloaders
+
+
+def make_config(args) -> TrainConfig:
+    return TrainConfig(
+        base_model="lbmc",
+        model_name=args.model_name,
+        batch_size=args.batch_size,
+        lr_dncnn=args.lr_dncnn,
+        lr_pnet=tuple(args.lr_pnet),
+        pnet_out_size=tuple(args.pnet_out_size),
+        w_manif=tuple(args.w_manif),
+        use_llpm_buf=args.use_llpm_buf,
+        manif_learn=args.manif_learn,
+        manif_loss=args.manif_loss,
+        local=args.local,
+        disentangle=args.disentangle,
+        seed=args.seed,
+        compute_dtype=getattr(args, 'compute_dtype', 'bfloat16'),
+    )
+
+
+def init_model(dataset, args):
+    interfaces = init_interfaces(make_config(args), args)
+    for i, iface in enumerate(interfaces):
+        if len(interfaces) == 1:
+            fn = os.path.join(args.save, args.model_name + ".ckpt")
+        else:
+            fn = os.path.join(args.save, f"{args.model_name}_trial{i}.ckpt")
+        assert args.start_epoch != 0 or not os.path.isfile(fn), (
+            f"Model {fn} already exists."
+        )
+        if args.start_epoch != 0 and os.path.isfile(fn):
+            ck = load_checkpoint(fn)
+            lr_override = None
+            if not args.lr_ckpt:
+                lr_override = {
+                    name: (args.lr_dncnn if name == "dncnn" else args.lr_pnet[0])
+                    for name in iface.states
+                }
+            restore_interface(iface, ck, lr_override=lr_override)
+            if args.best_err is not None:
+                iface.best_err = args.best_err
+            print("Pretraining weights are loaded.")
+        else:
+            print("Train models from scratch.")
+    params = {
+        "plots": {},
+        "data_device": 0,
+        # LBMC LR schedule (reference train_lbmc.py:196-198)
+        "sched_dncnn": step_lr(args.lr_dncnn, step_size=3, gamma=0.5),
+    }
+    os.makedirs(args.save, exist_ok=True)
+    return interfaces, params
+
+
+def main(args):
+    np.random.seed(args.seed)
+    dataset, dataloaders = init_data(args)
+    interfaces, params = init_model(dataset, args)
+    train(interfaces, dataloaders, params, args)
+
+
+if __name__ == "__main__":
+    parser = BasicArgumentParser()
+    add_common_train_flags(parser)
+    parser.add_argument("--use_g_buf", action="store_false")
+    parser.add_argument("--lr_dncnn", type=float, default=1e-4,
+                        help="learning rate of the LBMC denoiser.")
+    add_manifold_flags(parser)
+    args = parser.parse_args()
+    validate_manifold_flags(args)
+    main(args)

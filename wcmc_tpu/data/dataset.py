@@ -1,0 +1,427 @@
+"""Disk-backed datasets: offline preprocessing cache + patch training sets.
+
+Mirrors the reference's data contracts (reference support/datasets.py)
+with a torch-free, TPU-first pipeline:
+
+* the offline pass runs the jit-compiled preprocessing stage (on the
+  default backend — TPU when available) and writes the same cache file
+  names (``*_llpm.npy``, ``*_sbmc_s.npy``, ``*_sbmc_p.npy``,
+  ``*_kpcn_<spp>.npy``, ``*_prob_imp.npy``) next to the inputs;
+* ``DenoiseDataset`` serves channels-last patch dicts with the
+  reference's importance sampling (patches drawn proportional to the
+  cached probability map, ``patches_per_image = (256//bs)*bs`` random /
+  100 grid, reference support/datasets.py:273-280);
+* ``MSDenoiseDataset`` concatenates per-spp variants (spp 2..N);
+* ``BatchLoader`` replaces torch DataLoader: it collates numpy patches
+  and (optionally) uses the native C++ loader for IO.
+
+Directory layout (same as the reference):
+``<root>/<mode>/gt/<scene>.npy`` and ``<root>/<mode>/input/<scene>.npy``
+with extra-spp parts ``<scene>_1.npy`` ... appended on the sample axis.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from wcmc_tpu.data import preprocess, schema
+
+PATCH_SIZE = schema.PATCH_SIZE
+
+
+def _cache_name(in_fn: str, tag: str) -> str:
+    base, ext = os.path.splitext(in_fn)
+    return f"{base}_{tag}{ext}"
+
+
+def _input_path(gt_fn: str) -> str:
+    return gt_fn.replace(os.sep + "gt" + os.sep, os.sep + "input" + os.sep)
+
+
+def _load_sanitized(fn: str, spp: int | None = None) -> np.ndarray:
+    arr = np.load(fn, mmap_mode="r")
+    if spp is not None:
+        arr = arr[:, :, :spp, :]
+    arr = np.asarray(arr, dtype=np.float32)
+    arr = np.where(np.isfinite(arr), arr, preprocess.FINITE_CAP)
+    return np.minimum(arr, preprocess.FINITE_CAP)
+
+
+def load_all_spp(in_fn: str, spp: int) -> np.ndarray:
+    """Concatenate ``<base>.npy, <base>_1.npy, ...`` on the sample axis
+    until ``spp`` samples are available (reference datasets.py:1302-1317)."""
+    arr = _load_sanitized(in_fn)
+    i = 0
+    while arr.shape[2] < spp:
+        i += 1
+        part_fn = f"{os.path.splitext(in_fn)[0]}_{i}{os.path.splitext(in_fn)[1]}"
+        if not os.path.isfile(part_fn):
+            raise FileNotFoundError(
+                f"{spp} spp not available: missing {part_fn}"
+            )
+        arr = np.concatenate([arr, _load_sanitized(part_fn)], axis=2)
+    return arr[:, :, :spp, :]
+
+
+def offline_preprocess(
+    gt_base_dir: str,
+    mode: str = "train",
+    spp: int = 8,
+    llpm: bool = True,
+    sbmc: bool = True,
+    kpcn: bool = True,
+    overwrite: bool = False,
+    test_spps=(2, 4, 8, 16, 32, 64),
+    verbose: bool = False,
+):
+    """One-time cache builder (reference datasets.py:584-715).
+
+    Train/val: per-spp KPCN buffers for spp 2..``spp``.
+    Test: KPCN buffers for each of ``test_spps`` (concatenating
+    extra-sample files as needed).
+    """
+    import jax.numpy as jnp
+
+    from wcmc_tpu.data.importance import importance_map
+
+    gt_dir = os.path.join(gt_base_dir, mode, "gt")
+    gt_files = sorted(
+        os.path.join(gt_dir, f) for f in os.listdir(gt_dir)
+        if f.endswith(".npy") and "_prob_imp" not in f
+    )
+    for gt_fn in gt_files:
+        in_fn = _input_path(gt_fn)
+        if verbose:
+            print("[preprocess]", in_fn)
+        raw = None
+
+        def get_raw():
+            nonlocal raw
+            if raw is None:
+                raw = _load_sanitized(in_fn, spp)
+                assert raw.shape[-1] == schema.RAW_CHANNELS, (
+                    "input numpy file is not an OptaGen dump"
+                )
+            return raw
+
+        if llpm:
+            fn = _cache_name(in_fn, "llpm")
+            if overwrite or not os.path.isfile(fn):
+                np.save(fn, np.asarray(preprocess.preprocess_llpm(
+                    jnp.asarray(get_raw()))))
+        # extra-spp parts get their own caches so FullImageDataset can
+        # assemble arbitrary spp from cached buffers
+        i = 0
+        while True:
+            i += 1
+            part = f"{os.path.splitext(in_fn)[0]}_{i}.npy"
+            if not os.path.isfile(part):
+                break
+            part_raw = None
+            todo = []
+            if llpm:
+                todo.append((f"llpm_{i}",
+                             lambda r: preprocess.preprocess_llpm(r)))
+            if sbmc and mode == "test":
+                todo.append((f"sbmc_s_{i}",
+                             lambda r: preprocess.preprocess_sbmc(r)[0]))
+                todo.append((f"sbmc_p_{i}",
+                             lambda r: preprocess.preprocess_sbmc(r)[1]))
+            for tag, fn_of in todo:
+                fn_i = _cache_name(in_fn, tag)
+                if overwrite or not os.path.isfile(fn_i):
+                    if part_raw is None:
+                        part_raw = jnp.asarray(_load_sanitized(part))
+                    np.save(fn_i, np.asarray(fn_of(part_raw)))
+
+        sbmc_s = sbmc_p = None
+        if sbmc or mode != "test":
+            s_fn = _cache_name(in_fn, "sbmc_s")
+            p_fn = _cache_name(in_fn, "sbmc_p")
+            need = overwrite or not (
+                os.path.isfile(s_fn) and os.path.isfile(p_fn)
+            )
+            if need or mode != "test":
+                s, p = preprocess.preprocess_sbmc(jnp.asarray(get_raw()))
+                sbmc_s, sbmc_p = np.asarray(s), np.asarray(p)
+            if sbmc and (overwrite or not os.path.isfile(s_fn)):
+                np.save(s_fn, sbmc_s)
+            if sbmc and (overwrite or not os.path.isfile(p_fn)):
+                np.save(p_fn, sbmc_p)
+
+        if kpcn:
+            spps = test_spps if mode == "test" else range(2, spp + 1)
+            for s_ in spps:
+                fn = _cache_name(in_fn, f"kpcn_{s_}")
+                if not overwrite and os.path.isfile(fn):
+                    continue
+                try:
+                    arr = (
+                        load_all_spp(in_fn, s_) if mode == "test"
+                        else get_raw()[:, :, :s_, :]
+                    )
+                except FileNotFoundError:
+                    continue  # scene doesn't have that many samples
+                np.save(fn, np.asarray(preprocess.preprocess_kpcn(
+                    jnp.asarray(arr))))
+
+        # sanitize GT in place (reference datasets.py:690-695)
+        gt = _load_sanitized(gt_fn)
+        np.save(gt_fn, gt)
+
+        if mode != "test":
+            prob_fn = _cache_name(in_fn, "prob_imp")
+            if overwrite or not os.path.isfile(prob_fn):
+                prob = importance_map(
+                    jnp.asarray(gt), jnp.asarray(sbmc_s), jnp.asarray(sbmc_p)
+                )
+                np.save(prob_fn, np.asarray(prob))
+
+
+class DenoiseDataset:
+    """Map-style patch dataset over the preprocessed cache."""
+
+    def __init__(
+        self,
+        gt_base_dir: str,
+        spp: int,
+        base_model: str = "sbmc",
+        mode: str = "train",
+        batch_size: int = 8,
+        sampling: str = "random",
+        use_g_buf: bool = True,
+        use_sbmc_buf: bool = True,
+        use_llpm_buf: bool = False,
+        pnet_out_size: int = 3,
+        seed: int = 0,
+        patches_per_image: int | None = None,
+    ):
+        if base_model not in ("sbmc", "kpcn", "lbmc"):
+            raise RuntimeError(f"Unknown baseline model {base_model}")
+        if mode not in ("train", "val", "test"):
+            raise RuntimeError(f"Unknown training mode {mode}")
+        if sampling not in ("random", "grid"):
+            raise RuntimeError(f"Unknown sampling mode {sampling}")
+        if base_model == "lbmc":
+            base_model, use_sbmc_buf, use_g_buf = "sbmc", False, True
+
+        self.gt_dir = os.path.join(gt_base_dir, mode, "gt")
+        self.gt_files = sorted(
+            os.path.join(self.gt_dir, f) for f in os.listdir(self.gt_dir)
+            if f.endswith(".npy")
+        )
+        self.spp = spp
+        self.mode = mode
+        self.sampling = sampling
+        self.base_model = base_model
+        self.use_g_buf = use_g_buf
+        self.use_sbmc_buf = use_sbmc_buf and base_model == "sbmc"
+        self.use_llpm_buf = use_llpm_buf
+        self.channels = schema.ChannelConfig(
+            base_model,
+            use_g_buf=use_g_buf,
+            use_sbmc_buf=self.use_sbmc_buf,
+            use_llpm_buf=use_llpm_buf,
+            pnet_out_size=pnet_out_size,
+        )
+        self._rng = np.random.default_rng(seed)
+        self._rng.shuffle(self.gt_files)
+
+        if patches_per_image is not None:
+            self.patches_per_image = patches_per_image
+        elif sampling == "random":
+            self.patches_per_image = (256 // batch_size) * batch_size
+        else:
+            self.patches_per_image = 100
+        self._cached_idx = None
+        self._patches = None
+
+    # channel-size accessors matching the reference attribute names
+    @property
+    def dncnn_in_size(self):
+        return self.channels.dncnn_in_size
+
+    @property
+    def pnet_in_size(self):
+        return self.channels.pnet_in_size
+
+    @property
+    def pnet_out_size(self):
+        return self.channels.pnet_out_size
+
+    def __len__(self):
+        return len(self.gt_files) * self.patches_per_image
+
+    def _load_image(self, img_idx: int) -> dict:
+        gt_fn = self.gt_files[img_idx]
+        in_fn = _input_path(gt_fn)
+        sample = {}
+
+        if self.base_model == "sbmc":
+            s_buf = np.load(_cache_name(in_fn, "sbmc_s"), mmap_mode="r")
+            s_buf = np.asarray(s_buf[:, :, :self.spp, :])
+            sample["radiance"] = s_buf[..., 0:3]
+            feats = s_buf[..., 3:27] if self.use_g_buf else s_buf[..., 3:6]
+            if self.use_sbmc_buf:
+                p_buf = np.load(_cache_name(in_fn, "sbmc_p"), mmap_mode="r")
+                feats = np.concatenate(
+                    [feats, np.asarray(p_buf[:, :, :self.spp, :])], axis=-1
+                )
+            sample["features"] = feats
+        else:  # kpcn
+            buf = np.load(_cache_name(in_fn, f"kpcn_{self.spp}"))
+            sample["kpcn_diffuse_in"] = np.concatenate(
+                [buf[..., :10], buf[..., 20:]], axis=-1
+            )
+            sample["kpcn_specular_in"] = buf[..., 10:]
+            sample["kpcn_diffuse_buffer"] = buf[..., 0:3]
+            sample["kpcn_specular_buffer"] = buf[..., 10:13]
+            sample["kpcn_albedo"] = buf[..., 34:37] + schema.ALBEDO_EPS
+
+        if self.use_llpm_buf:
+            llpm = np.load(_cache_name(in_fn, "llpm"), mmap_mode="r")
+            llpm = np.asarray(llpm[:, :, :self.spp, :])
+            pw = llpm[..., :1]
+            if self.base_model == "sbmc":
+                sample["features"] = np.concatenate(
+                    [sample["features"], pw], axis=-1
+                )
+            else:
+                sample["kpcn_diffuse_in"] = np.concatenate(
+                    [sample["kpcn_diffuse_in"], pw.mean(axis=2)], axis=-1
+                )
+                sample["kpcn_specular_in"] = np.concatenate(
+                    [sample["kpcn_specular_in"], pw.mean(axis=2)], axis=-1
+                )
+            sample["paths"] = llpm[..., 1:]
+
+        gt = np.load(gt_fn)
+        if self.base_model == "sbmc":
+            sample["target_image"] = gt[..., 0:3]
+        else:
+            total, diffuse, albedo = gt[..., 0:3], gt[..., 3:6], gt[..., 6:9]
+            sample["target_diffuse"] = diffuse / (albedo + schema.ALBEDO_EPS)
+            sample["target_specular"] = np.log1p(np.maximum(total - diffuse, -0.9999))
+            sample["target_total"] = total
+        return sample, in_fn
+
+    def _sample_coords(self, shape, prob: np.ndarray | None):
+        h, w = shape
+        n = self.patches_per_image
+        if self.sampling == "grid":
+            coords = [
+                (x, y)
+                for x in range(0, h - PATCH_SIZE + 1, PATCH_SIZE)
+                for y in range(0, w - PATCH_SIZE + 1, PATCH_SIZE)
+            ]
+            return (coords * (n // len(coords) + 1))[:n]
+        if prob is not None:
+            ph, pw = prob.shape
+            flat = prob.reshape(-1)
+            flat = flat / flat.sum()
+            idx = self._rng.choice(ph * pw, size=n, p=flat)
+            return [(i // pw, i % pw) for i in idx]
+        xs = self._rng.integers(0, h - PATCH_SIZE + 1, n)
+        ys = self._rng.integers(0, w - PATCH_SIZE + 1, n)
+        return list(zip(xs.tolist(), ys.tolist()))
+
+    def _cut_patches(self, img_idx: int):
+        sample, in_fn = self._load_image(img_idx)
+        any_key = next(iter(sample))
+        h, w = sample[any_key].shape[:2]
+        prob = None
+        if self.sampling == "random":
+            prob_fn = _cache_name(in_fn, "prob_imp")
+            if os.path.isfile(prob_fn):
+                prob = np.load(prob_fn)
+        coords = self._sample_coords((h, w), prob)
+        self._patches = []
+        for x, y in coords:
+            patch = {
+                k: np.ascontiguousarray(
+                    v[x:x + PATCH_SIZE, y:y + PATCH_SIZE]
+                )
+                for k, v in sample.items()
+            }
+            self._patches.append(self._to_model_layout(patch))
+        self._cached_idx = img_idx
+
+    @staticmethod
+    def _to_model_layout(patch: dict) -> dict:
+        """(H, W, S, C) sample-space buffers -> (S, H, W, C); pixel
+        buffers stay (H, W, C).  Channels-last throughout."""
+        out = {}
+        for k, v in patch.items():
+            if v.ndim == 4:
+                out[k] = np.transpose(v, (2, 0, 1, 3))
+            else:
+                out[k] = v
+        return out
+
+    def __getitem__(self, idx: int) -> dict:
+        img_idx = idx // self.patches_per_image
+        pat_idx = idx % self.patches_per_image
+        if self._cached_idx != img_idx or self._patches is None:
+            self._cut_patches(img_idx)
+        return self._patches[pat_idx]
+
+
+class MSDenoiseDataset:
+    """Multi-spp concatenation (spp 2..N; reference datasets.py:1149-1171)."""
+
+    def __init__(self, root, spp, base_model="sbmc", mode="train",
+                 batch_size=8, sampling="random", use_g_buf=True,
+                 use_sbmc_buf=True, use_llpm_buf=False, pnet_out_size=3,
+                 seed=0, patches_per_image=None):
+        if spp < 2:
+            raise RuntimeError(
+                "spp too low to randomize sample count, should be at least 2."
+            )
+        self.datasets = [
+            DenoiseDataset(root, s, base_model, mode, batch_size, sampling,
+                           use_g_buf, use_sbmc_buf, use_llpm_buf,
+                           pnet_out_size, seed + s, patches_per_image)
+            for s in range(2, spp + 1)
+        ]
+        self._lengths = [len(d) for d in self.datasets]
+        self.dncnn_in_size = self.datasets[0].dncnn_in_size
+        self.pnet_in_size = self.datasets[0].pnet_in_size
+        self.pnet_out_size = self.datasets[0].pnet_out_size
+
+    def __len__(self):
+        return sum(self._lengths)
+
+    def __getitem__(self, idx):
+        for d, n in zip(self.datasets, self._lengths):
+            if idx < n:
+                return d[idx]
+            idx -= n
+        raise IndexError(idx)
+
+
+class BatchLoader:
+    """Minimal sequential batch collator (the reference uses a 1-worker
+    torch DataLoader, train_kpcn.py:177-188).  Batches with mixed spp
+    are impossible by construction: a batch never crosses an image
+    boundary because patches_per_image is a multiple of batch_size."""
+
+    def __init__(self, dataset, batch_size: int, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        for start in range(0, n - self.batch_size + 1, self.batch_size):
+            items = [self.dataset[i] for i in range(start, start + self.batch_size)]
+            yield {
+                k: np.stack([it[k] for it in items], axis=0)
+                for k in items[0]
+            }

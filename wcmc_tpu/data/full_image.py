@@ -1,0 +1,183 @@
+"""Full-frame tiled inference dataset.
+
+Counterpart of the reference's ``FullImageDataset``
+(reference support/datasets.py:1174-1425): loads a full frame at an
+arbitrary spp (concatenating extra-sample part files), tiles it into
+128 x 128 patches with a 32 px overlap pad and 64 px stride, and keeps
+per-tile interior-crop coordinates so the assembled output equals an
+untiled run over the valid region.  Also exposes the ``has_hit`` mask
+(first-bounce type != 0) used for background/emitter passthrough
+(reference datasets.py:1406-1414, test_models.py:230-232).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from wcmc_tpu.data import schema
+from wcmc_tpu.data.dataset import _cache_name, load_all_spp
+
+PATCH_SIZE = schema.PATCH_SIZE
+PAD_SIZE = 32                     # covers the 28 px KPCN shrink
+
+
+class FullImageDataset:
+    def __init__(
+        self,
+        in_fn: str,
+        spp: int,
+        base_model: str = "sbmc",
+        use_g_buf: bool = True,
+        use_sbmc_buf: bool = True,
+        use_llpm_buf: bool = False,
+        pnet_out_size: int = 3,
+        feat_imp: bool = False,
+        seed: int = 0,
+    ):
+        if base_model not in ("kpcn", "sbmc", "lbmc"):
+            raise RuntimeError(f"Unknown baseline model {base_model}")
+        assert os.sep + "input" + os.sep in in_fn, in_fn
+        if base_model == "lbmc":
+            base_model, use_sbmc_buf, use_g_buf = "sbmc", False, True
+
+        self.in_fn = in_fn
+        self.gt_fn = in_fn.replace(
+            os.sep + "input" + os.sep, os.sep + "gt" + os.sep
+        )
+        self.spp = spp
+        self.base_model = base_model
+        self.use_g_buf = use_g_buf
+        self.use_sbmc_buf = use_sbmc_buf
+        self.use_llpm_buf = use_llpm_buf
+        self.channels = schema.ChannelConfig(
+            base_model, use_g_buf=use_g_buf, use_sbmc_buf=use_sbmc_buf,
+            use_llpm_buf=use_llpm_buf, pnet_out_size=pnet_out_size,
+        )
+
+        sample = self._load_full_buffer()
+        if feat_imp and use_llpm_buf:
+            # feature-importance permutation test: shuffle path
+            # descriptors across (pixel, sample) positions
+            p = sample["paths"]
+            h, w, s, c = p.shape
+            flat = p.reshape(-1, c)
+            perm = np.random.default_rng(seed).permutation(flat.shape[0])
+            sample["paths"] = flat[perm].reshape(h, w, s, c)
+
+        if base_model == "kpcn":
+            h, w, _ = sample["target_total"].shape
+            self.full_ipt = (
+                sample["kpcn_diffuse_buffer"] * sample["kpcn_albedo"]
+                + np.expm1(sample["kpcn_specular_buffer"])
+            )
+            self.full_tgt = sample["target_total"]
+        else:
+            h, w = sample["radiance"].shape[:2]
+            self.full_ipt = sample["radiance"].mean(axis=2)
+            self.full_tgt = sample["target_image"]
+        self.h, self.w = h, w
+        self.has_hit = np.repeat(self.has_hit, 3, axis=-1)
+
+        # model layout: sample-space -> (S, H, W, C)
+        for k, v in sample.items():
+            if v.ndim == 4:
+                sample[k] = np.transpose(v, (2, 0, 1, 3))
+
+        stride = PATCH_SIZE - 2 * PAD_SIZE
+        assert (h - 2 * PAD_SIZE) % stride == 0, (h, stride)
+        assert (w - 2 * PAD_SIZE) % stride == 0, (w, stride)
+
+        self.samples, self.coords = [], []
+        for i in range(0, h - 2 * PAD_SIZE, stride):
+            for j in range(0, w - 2 * PAD_SIZE, stride):
+                i_start = 0 if i == 0 else i + PAD_SIZE
+                j_start = 0 if j == 0 else j + PAD_SIZE
+                i_end = (
+                    i + PATCH_SIZE if i == h - PATCH_SIZE
+                    else i + PATCH_SIZE - PAD_SIZE
+                )
+                j_end = (
+                    j + PATCH_SIZE if j == w - PATCH_SIZE
+                    else j + PATCH_SIZE - PAD_SIZE
+                )
+                self.coords.append((i_start, j_start, i_end, j_end, i, j))
+                self.samples.append({
+                    k: v[..., i:i + PATCH_SIZE, j:j + PATCH_SIZE, :]
+                    for k, v in sample.items()
+                })
+
+    def _load_full_buffer(self) -> dict:
+        in_fn = self.in_fn
+        sample = {}
+        if self.base_model == "sbmc":
+            s_buf = self._load_parts(_cache_name(in_fn, "sbmc_s"))
+            sample["radiance"] = s_buf[..., 0:3]
+            feats = s_buf[..., 3:27] if self.use_g_buf else s_buf[..., 3:6]
+            if self.use_sbmc_buf:
+                p_buf = self._load_parts(_cache_name(in_fn, "sbmc_p"))
+                feats = np.concatenate([feats, p_buf], axis=-1)
+            sample["features"] = feats
+        else:
+            buf = np.load(_cache_name(in_fn, f"kpcn_{self.spp}"))
+            sample["kpcn_diffuse_in"] = np.concatenate(
+                [buf[..., :10], buf[..., 20:]], axis=-1
+            )
+            sample["kpcn_specular_in"] = buf[..., 10:]
+            sample["kpcn_diffuse_buffer"] = buf[..., 0:3]
+            sample["kpcn_specular_buffer"] = buf[..., 10:13]
+            sample["kpcn_albedo"] = buf[..., 34:37] + schema.ALBEDO_EPS
+
+        llpm = self._load_parts(_cache_name(in_fn, "llpm"))
+        if self.use_llpm_buf:
+            pw = llpm[..., :1]
+            if self.base_model == "sbmc":
+                sample["features"] = np.concatenate(
+                    [sample["features"], pw], axis=-1
+                )
+            else:
+                sample["kpcn_diffuse_in"] = np.concatenate(
+                    [sample["kpcn_diffuse_in"], pw.mean(axis=2)], axis=-1
+                )
+                sample["kpcn_specular_in"] = np.concatenate(
+                    [sample["kpcn_specular_in"], pw.mean(axis=2)], axis=-1
+                )
+            sample["paths"] = llpm[..., 1:]
+
+        gt = np.load(self.gt_fn).astype(np.float32)
+        if self.base_model == "sbmc":
+            sample["target_image"] = gt[..., 0:3]
+        else:
+            total, diffuse, albedo = gt[..., 0:3], gt[..., 3:6], gt[..., 6:9]
+            sample["target_diffuse"] = diffuse / (albedo + schema.ALBEDO_EPS)
+            sample["target_specular"] = np.log1p(np.maximum(total - diffuse, -0.9999))
+            sample["target_total"] = total
+
+        # first bounce type == 0 <=> eye ray hit background or emitter
+        bt_col = 24  # bounce_types start inside the 36-ch 'paths' block
+        self.has_hit = (
+            llpm[..., 1:].mean(axis=2)[..., bt_col:bt_col + 1] != 0.0
+        ).astype(np.float32)
+        return sample
+
+    def _load_parts(self, base_fn: str) -> np.ndarray:
+        """Load a cached buffer, concatenating ``_1.._i`` part caches on
+        the sample axis until spp is reached."""
+        arr = np.asarray(np.load(base_fn, mmap_mode="r"))
+        i = 0
+        base, ext = os.path.splitext(base_fn)
+        # cache part names: foo_llpm.npy -> foo_llpm_1.npy
+        while arr.shape[2] < self.spp:
+            i += 1
+            part = f"{base}_{i}{ext}"
+            arr = np.concatenate(
+                [arr, np.asarray(np.load(part, mmap_mode="r"))], axis=2
+            )
+        return arr[:, :, :self.spp, :]
+
+    def __len__(self):
+        return len(self.coords)
+
+    def __getitem__(self, idx: int):
+        return self.samples[idx], self.coords[idx]

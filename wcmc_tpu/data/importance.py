@@ -42,17 +42,16 @@ def _conv1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int, mode: str) -> jnp.
     pad = [(0, 0), (0, 0)]
     pad[axis] = (r, r)
     padded = jnp.pad(img, pad, mode=pad_mode)
-    if axis == 1:
+    if axis == 0:  # bring the convolved axis to the last position
         padded = padded.T
-    # (W, H+2r) x correlate along last axis via conv_general_dilated
     out = jax.lax.conv_general_dilated(
-        padded[:, None, :],                  # (N=other, C=1, H+2r)
+        padded[:, None, :],                  # (N=other, C=1, L+2r)
         kernel[::-1][None, None, :],         # flip: conv == correlation (symmetric anyway)
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
     )[:, 0, :]
-    return out.T if axis == 1 else out
+    return out.T if axis == 0 else out
 
 
 def _gaussian_blur(img: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +102,9 @@ def importance_map(
     glossy = sbmc_p[..., schema.SBMC_P_IS_GLOSSY[0]].mean(axis=2)
     specular = sbmc_p[..., schema.SBMC_P_IS_SPECULAR[0]].mean(axis=2)
     normal = sbmc_s[..., schema.SBMC_S_NORMAL[0]:schema.SBMC_S_NORMAL[1]].mean(axis=2)
-    normal = normal * 0.5 + 0.5
+    # normals are directions; clamp so NaN-capped sentinel values
+    # (1e38, preprocess.sanitize) can't overflow the f32 gradient math
+    normal = jnp.clip(normal * 0.5 + 0.5, 0.0, 1.0)
 
     lum = (
         0.2126 * gt_img[..., 0] + 0.7152 * gt_img[..., 1] + 0.0722 * gt_img[..., 2]

@@ -109,6 +109,13 @@ def preprocess_kpcn(sample: jnp.ndarray) -> jnp.ndarray:
     spp = sample.shape[2]
     eps = schema.ALBEDO_EPS
 
+    # The NaN-handling sentinel cap is 1e38 (reference datasets.py:622);
+    # squaring it in the variance/normalization math overflows f32 to
+    # inf and poisons the cache with NaN (latent in the reference too).
+    # Clip to 1e10 first: identical for normal-range data, finite
+    # moments for capped outliers.
+    sample = jnp.clip(sample, -1e10, 1e10)
+
     def mean_var(x):
         return x.mean(axis=2), x.var(axis=2).mean(axis=2, keepdims=True) / spp
 
@@ -182,7 +189,8 @@ def kpcn_targets(gt: jnp.ndarray) -> dict:
     return {
         "target_total": total,
         "target_diffuse": diffuse / (albedo + schema.ALBEDO_EPS),
-        "target_specular": jnp.log1p(total - diffuse),
+        # clamp keeps log1p finite when MC noise makes diffuse > total
+        "target_specular": jnp.log1p(jnp.maximum(total - diffuse, -0.9999)),
     }
 
 

@@ -1,0 +1,230 @@
+"""Full-frame tiled inference + the 5x4 evaluation metric grid.
+
+Counterpart of reference test_models.py: overlap-tiled inference with
+replicate padding and interior-crop assembly (test_models.py:49-101),
+28 px boundary crop (valid_size 72, test_models.py:217-228),
+background/emitter passthrough via ``has_hit`` (test_models.py:230-232),
+and the {RelMSE, RelL1, DSSIM, L1, MSE} x {linear, Reinhard, gamma 2.2,
+adaptive gamma 2.8} CSV grid (test_models.py:113,247-277).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from wcmc_tpu import metrics as M
+from wcmc_tpu.data.full_image import FullImageDataset
+
+VALID_SIZE = 72
+PATCH_SIZE = 128
+
+
+def tonemap(c, ref=None, k_inv_gamma=1.0 / 2.2):
+    """Adaptive-luminance tonemap (reference test_models.py:24-34)."""
+    if ref is None:
+        ref = c
+    lum = 0.2126 * ref[..., 0] + 0.7152 * ref[..., 1] + 0.0722 * ref[..., 2]
+    col = np.copy(c) / (1.0 + lum / 1.5)[..., None]
+    col = np.clip(col, 0, None)
+    return np.clip(col ** k_inv_gamma, 0.0, 1.0)
+
+
+METRICS = [M.RelMSE, M.RelL1, M.SSIM, M.L1, M.MSE]
+METRIC_NAMES = ["RelMSE", "RelL1", "DSSIM", "L1", "MSE"]
+TMAPS = [
+    lambda x: x,
+    M.tonemap_simple,
+    tonemap,
+    lambda x: tonemap(x, k_inv_gamma=1.0 / 2.8),
+]
+TMAP_NAMES = ["linear", "reinhard", "gamma22", "gamma28"]
+
+
+def _replicate_pad(tile: np.ndarray, target: int) -> np.ndarray:
+    """Edge-replicate a (B, h, w, C) tile back to (B, target, target, C)
+    (reference test_models.py:67-70)."""
+    pad_h = target - tile.shape[1]
+    pad_w = target - tile.shape[2]
+    if pad_h == 0 and pad_w == 0:
+        return tile
+    return np.pad(
+        tile,
+        (
+            (0, 0),
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+            (0, 0),
+        ),
+        mode="edge",
+    )
+
+
+def inference(interface, dataset: FullImageDataset, batch_size: int = 8):
+    """Tiled full-frame inference with interior-crop assembly.
+
+    Returns (out_rad (H, W, 3), out_path or None, elapsed_seconds).
+    """
+    interface.to_eval_mode()
+    H, W = dataset.h, dataset.w
+    out_rad = np.zeros((H, W, 3), np.float32)
+    out_path = None
+    use_paths = dataset.use_llpm_buf
+    t0 = time.time()
+
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        tiles = [dataset[i][0] for i in idxs]
+        coords = [dataset[i][1] for i in idxs]
+        batch = {
+            k: np.stack([t[k] for t in tiles], axis=0) for k in tiles[0]
+        }
+        out, p_buffers = interface.validate_batch(batch)
+        out = np.asarray(out)
+        out = _replicate_pad(out, PATCH_SIZE)
+
+        if use_paths and out_path is None:
+            if isinstance(p_buffers, dict):
+                out_path = {
+                    k: np.zeros(
+                        (v.shape[1], H, W, v.shape[-1]), np.float32
+                    )
+                    for k, v in p_buffers.items()
+                }
+            else:
+                out_path = np.zeros(
+                    (p_buffers.shape[1], H, W, p_buffers.shape[-1]),
+                    np.float32,
+                )
+
+        for b, (i0, j0, i1, j1, i, j) in enumerate(coords):
+            out_rad[i0:i1, j0:j1] = out[b, i0 - i:i1 - i, j0 - j:j1 - j]
+            if use_paths:
+                if isinstance(p_buffers, dict):
+                    for k in p_buffers:
+                        pb = np.asarray(p_buffers[k])
+                        out_path[k][:, i0:i1, j0:j1] = pb[
+                            b, :, i0 - i:i1 - i, j0 - j:j1 - j
+                        ]
+                else:
+                    pb = np.asarray(p_buffers)
+                    out_path[:, i0:i1, j0:j1] = pb[
+                        b, :, i0 - i:i1 - i, j0 - j:j1 - j
+                    ]
+    return out_rad, out_path, time.time() - t0
+
+
+def evaluate_frame(out_rad, tgt, ipt, has_hit):
+    """Boundary crop + passthrough + full metric grid.
+
+    Returns (results, results_input): {tmap}_{metric} -> float.
+    """
+    crop = (PATCH_SIZE - VALID_SIZE) // 2
+    out_rad = out_rad[crop:-crop, crop:-crop]
+    tgt = tgt[crop:-crop, crop:-crop]
+    ipt = ipt[crop:-crop, crop:-crop]
+    hh = has_hit[crop:-crop, crop:-crop]
+    out_rad = np.where(hh == 0, ipt, out_rad)
+
+    results, results_input = {}, {}
+    for tname, tmap in zip(TMAP_NAMES, TMAPS):
+        for mname, metric in zip(METRIC_NAMES, METRICS):
+            results[f"{tname}_{mname}"] = float(metric(tmap(out_rad), tmap(tgt)))
+            results_input[f"{tname}_{mname}"] = float(
+                metric(tmap(ipt), tmap(tgt))
+            )
+    return results, results_input
+
+
+def denoise(
+    interface,
+    input_dir: str,
+    base_model: str,
+    scenes=None,
+    spps=(8,),
+    output_dir: str = "./eval_out",
+    use_g_buf: bool = True,
+    use_sbmc_buf: bool = True,
+    use_llpm_buf: bool = False,
+    pnet_out_size: int = 3,
+    save_figures: bool = False,
+    batch_size_fn=lambda spp: 8 if spp <= 32 else 4,
+):
+    """Scene x spp evaluation sweep -> nested results dict + CSVs."""
+    assert os.path.isdir(input_dir), input_dir
+    gt_dir = input_dir.replace(os.sep + "input", os.sep + "gt")
+    if scenes is None:
+        scenes = sorted(
+            f[:-4] for f in os.listdir(gt_dir)
+            if f.endswith(".npy") and "_" not in f
+        )
+    os.makedirs(output_dir, exist_ok=True)
+
+    all_results = {}
+    for scene in scenes:
+        scene = scene[:-4] if scene.endswith(".npy") else scene
+        for spp in spps:
+            ds = FullImageDataset(
+                os.path.join(input_dir, scene + ".npy"), spp, base_model,
+                use_g_buf, use_sbmc_buf, use_llpm_buf, pnet_out_size,
+            )
+            out_rad, out_path, dt = inference(
+                interface, ds, batch_size_fn(spp)
+            )
+            res, res_in = evaluate_frame(
+                out_rad, ds.full_tgt, ds.full_ipt, ds.has_hit
+            )
+            res["inference_sec"] = dt
+            all_results[(scene, spp)] = {"output": res, "input": res_in}
+
+            if save_figures:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                sdir = os.path.join(output_dir, scene)
+                os.makedirs(sdir, exist_ok=True)
+                crop = (PATCH_SIZE - VALID_SIZE) // 2
+                err = M.RelMSE(
+                    out_rad[crop:-crop, crop:-crop],
+                    ds.full_tgt[crop:-crop, crop:-crop],
+                    reduce=False,
+                ).reshape(ds.full_tgt[crop:-crop, crop:-crop].shape)
+                plt.imsave(
+                    os.path.join(sdir, "target.png"),
+                    TMAPS[-1](ds.full_tgt),
+                )
+                plt.imsave(
+                    os.path.join(sdir, f"input_{spp}.png"),
+                    TMAPS[-1](ds.full_ipt),
+                )
+                plt.imsave(
+                    os.path.join(sdir, f"output_{spp}.png"),
+                    TMAPS[-1](out_rad),
+                )
+                plt.imsave(
+                    os.path.join(sdir, f"errmap_rmse_{spp}.png"),
+                    np.mean(np.clip(err**0.45, 0.0, 1.0), axis=2),
+                    cmap="magma",
+                )
+
+    _write_csv(os.path.join(output_dir, f"results_{spps[-1]}.csv"),
+               all_results, "output")
+    _write_csv(os.path.join(output_dir, f"results_input_{spps[-1]}.csv"),
+               all_results, "input")
+    return all_results
+
+
+def _write_csv(path, all_results, which):
+    keys = sorted({k for v in all_results.values() for k in v[which]})
+    with open(path, "w") as f:
+        f.write("scene,spp," + ",".join(keys) + "\n")
+        for (scene, spp), v in sorted(all_results.items()):
+            row = [scene, str(spp)] + [
+                f"{v[which].get(k, float('nan')):.6g}" for k in keys
+            ]
+            f.write(",".join(row) + "\n")

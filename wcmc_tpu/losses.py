@@ -71,37 +71,71 @@ def l1(im, ref):
 
 # ---------------------------------------------------------------------------
 # Path-disentangling losses
+#
+# Random-pair construction. The reference draws one uniform random
+# permutation per call and gathers through it
+# (support/losses.py:21,35,50). An arbitrary-permutation gather of
+# N ~ 3e5 rows of 3 floats is pathological on TPU (a profiled
+# KPCN+manifold train step spent ~75% of its time in these gathers and
+# their scatter-add transposes). The default pairing here instead
+# composes layout-friendly index-free shuffles — a random cyclic shift
+# (two slices) preceded by a random-divisor block transpose — which is
+# still a uniformly-offset random pairing with the same distance
+# statistics for shift-ergodic image data, but runs at HBM bandwidth.
+# ``pairing='permutation'`` restores the exact reference behavior.
 # ---------------------------------------------------------------------------
 
-def _pair_sq_dists(flat_a, idx):
-    """0.5 * ||a_i - a_perm(i)||^2 along the last (channel) axis.
 
-    ``flat_a``: (..., N, C); ``idx``: permutation of N applied to the
-    second-to-last axis.
-    """
-    permuted = jnp.take(flat_a, idx, axis=-2)
-    return 0.5 * jnp.sum((flat_a - permuted) ** 2, axis=-1)
+def _shuffle(flat, key, pairing: str):
+    """Apply a random pairing shuffle along axis -2 of (..., N, C)."""
+    n = flat.shape[-2]
+    if pairing == "permutation":
+        idx = jax.random.permutation(key, n)
+        return jnp.take(flat, idx, axis=-2)
+    k1, k2 = jax.random.split(key)
+    # fixed block transpose (largest small divisor) composed with TWO
+    # random rolls — one before (inner-block lag), one after (global
+    # lag) — yields pair lags that vary per step without any gather.
+    d = next((d for d in (8, 6, 4, 3, 2) if n % d == 0), 1)
+    shift1 = jax.random.randint(k1, (), 0, n)
+    flat = jnp.roll(flat, shift1, axis=-2)
+    if d > 1:
+        shp = flat.shape
+        y = flat.reshape(shp[:-2] + (d, n // d) + shp[-1:])
+        y = jnp.swapaxes(y, -3, -2)
+        flat = y.reshape(shp)
+    shift2 = jax.random.randint(k2, (), 1, n)
+    return jnp.roll(flat, shift2, axis=-2)
 
 
-def _patch_displacement(p_buffer, ref, idx):
-    """Per-pair (embedding distance - radiance distance), intra-patch.
+def _pair_sq_dists(flat_a, shuffled):
+    """0.5 * ||a_i - a_pair(i)||^2 along the last (channel) axis."""
+    return 0.5 * jnp.sum((flat_a - shuffled) ** 2, axis=-1)
 
-    One shared permutation of the S*H*W positions is applied inside
-    every batch element (reference support/losses.py:33-46).
-    """
+
+def _paired_displacement(p_flat, r_flat, key, pairing):
+    """(embed distance - radiance distance) over random pairs; the same
+    pairing is applied to embeddings and radiance."""
+    p_shuf = _shuffle(p_flat, key, pairing)
+    r_shuf = _shuffle(r_flat, key, pairing)
+    return _pair_sq_dists(p_flat, p_shuf) - _pair_sq_dists(r_flat, r_shuf)
+
+
+def _patch_displacement(p_buffer, ref, key, pairing):
+    """Intra-patch pairs: one shared shuffle of the S*H*W positions
+    applied inside every batch element (reference support/losses.py:33-46)."""
     b, s, h, w, c = p_buffer.shape
     p_flat = p_buffer.reshape(b, s * h * w, c)
     r_flat = ref.reshape(b, s * h * w, ref.shape[-1])
-    return _pair_sq_dists(p_flat, idx) - _pair_sq_dists(r_flat, idx)
+    return _paired_displacement(p_flat, r_flat, key, pairing)
 
 
-def _batch_displacement(p_buffer, ref, idx):
-    """Same, with pairs drawn across the whole batch
-    (reference support/losses.py:48-61)."""
+def _batch_displacement(p_buffer, ref, key, pairing):
+    """Pairs drawn across the whole batch (reference support/losses.py:48-61)."""
     b, s, h, w, c = p_buffer.shape
     p_flat = p_buffer.reshape(b * s * h * w, c)
     r_flat = ref.reshape(b * s * h * w, ref.shape[-1])
-    return _pair_sq_dists(p_flat, idx) - _pair_sq_dists(r_flat, idx)
+    return _paired_displacement(p_flat, r_flat, key, pairing)
 
 
 def _prep_pair(p_buffer, ref, color):
@@ -116,8 +150,9 @@ def _prep_pair(p_buffer, ref, color):
     return p_buffer, ref
 
 
-@partial(jax.jit, static_argnames=("color", "non_local"))
-def feature_mse(key, p_buffer, ref, color: str = "rgb", non_local: bool = True):
+@partial(jax.jit, static_argnames=("color", "non_local", "pairing"))
+def feature_mse(key, p_buffer, ref, color: str = "rgb",
+                non_local: bool = True, pairing: str = "roll"):
     """FeatureMSE path-disentangling loss (reference support/losses.py:9-113).
 
     Penalizes (d_embed - d_radiance)^2 over random (sample, pixel)
@@ -129,21 +164,20 @@ def feature_mse(key, p_buffer, ref, color: str = "rgb", non_local: bool = True):
     b, s, h, w, _ = p_buffer.shape
     k_patch, k_batch = jax.random.split(key)
 
-    idx_patch = jax.random.permutation(k_patch, s * h * w)
-    disp_p = _patch_displacement(p_buffer, ref, idx_patch)
+    disp_p = _patch_displacement(p_buffer, ref, k_patch, pairing)
     loss_p = 0.5 * jnp.mean(disp_p**2)
 
     if non_local:
-        idx_batch = jax.random.permutation(k_batch, b * s * h * w)
-        disp_b = _batch_displacement(p_buffer, ref, idx_batch)
+        disp_b = _batch_displacement(p_buffer, ref, k_batch, pairing)
         loss_b = 0.5 * jnp.mean(disp_b**2)
     else:
         loss_b = loss_p
     return loss_p + loss_b
 
 
-@partial(jax.jit, static_argnames=("alpha",))
-def global_relative_similarity(key, p_buffer, ref, alpha: float = 2.0):
+@partial(jax.jit, static_argnames=("alpha", "pairing"))
+def global_relative_similarity(key, p_buffer, ref, alpha: float = 2.0,
+                               pairing: str = "roll"):
     """GRS loss: logsumexp(alpha*[+-disp_p, +-disp_b, 0]) - log(1 + 4N),
     scaled by 1/sqrt(alpha) (reference support/losses.py:116-211)."""
     p_buffer, ref = _prep_pair(p_buffer, ref, "rgb")
@@ -151,12 +185,8 @@ def global_relative_similarity(key, p_buffer, ref, alpha: float = 2.0):
     n = b * s * h * w
     k_patch, k_batch = jax.random.split(key)
 
-    disp_p = _patch_displacement(
-        p_buffer, ref, jax.random.permutation(k_patch, s * h * w)
-    ).reshape(-1)
-    disp_b = _batch_displacement(
-        p_buffer, ref, jax.random.permutation(k_batch, n)
-    )
+    disp_p = _patch_displacement(p_buffer, ref, k_patch, pairing).reshape(-1)
+    disp_b = _batch_displacement(p_buffer, ref, k_batch, pairing)
 
     exponents = alpha * jnp.concatenate(
         [disp_p, disp_b, -disp_p, -disp_b, jnp.zeros((1,), p_buffer.dtype)]
@@ -165,10 +195,11 @@ def global_relative_similarity(key, p_buffer, ref, alpha: float = 2.0):
     return out / math.sqrt(alpha)
 
 
-def make_manifold_loss(name: str, non_local: bool = True):
+def make_manifold_loss(name: str, non_local: bool = True,
+                       pairing: str = "roll"):
     """Factory keyed by the CLI's --manif_loss flag values."""
     if name == "FMSE":
-        return partial(feature_mse, non_local=non_local)
+        return partial(feature_mse, non_local=non_local, pairing=pairing)
     if name == "GRS":
-        return global_relative_similarity
+        return partial(global_relative_similarity, pairing=pairing)
     raise ValueError(f"manif_loss must be 'FMSE' or 'GRS', got {name!r}")

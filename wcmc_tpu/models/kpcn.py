@@ -39,6 +39,7 @@ class KPCN(nn.Module):
     ksize: int = 21
     depth: int = 9
     width: int = 100
+    dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
 
     @property
     def shrink(self) -> int:
@@ -49,12 +50,12 @@ class KPCN(nn.Module):
     def __call__(self, batch: dict) -> dict:
         k_diffuse = ConvChain(
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
-            pad=False, name="diffuse",
-        )(batch["kpcn_diffuse_in"])
+            pad=False, dtype=self.dtype, name="diffuse",
+        )(batch["kpcn_diffuse_in"]).astype(jnp.float32)
         k_specular = ConvChain(
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
-            pad=False, name="specular",
-        )(batch["kpcn_specular_in"])
+            pad=False, dtype=self.dtype, name="specular",
+        )(batch["kpcn_specular_in"]).astype(jnp.float32)
 
         # Valid-window geometry: keep only kernel positions whose full
         # K x K window lies inside the conv-output grid.  The buffers

@@ -40,6 +40,7 @@ class LayerNet(nn.Module):
     ksize: int = 13
     width: int = 96
     embed_width: int = 32
+    dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
 
     @nn.compact
     def __call__(self, batch: dict) -> jnp.ndarray:
@@ -55,9 +56,13 @@ class LayerNet(nn.Module):
         emb = ConvChain(
             self.embed_width, width=self.embed_width, depth=3, ksize=1,
             pad=False, output_type="leaky_relu",
-            hidden_activation="leaky_relu", name="embedding",
+            hidden_activation="leaky_relu", dtype=self.dtype,
+            name="embedding",
         )(flat)
-        layer_logits = nn.Conv(self.num_layers, (1, 1), name="layer_head")(emb)
+        layer_logits = nn.Conv(
+            self.num_layers, (1, 1), dtype=self.dtype, name="layer_head"
+        )(emb).astype(jnp.float32)
+        emb = emb.astype(jnp.float32)
         lw = nn.softmax(
             layer_logits.reshape(b, s, h, w, self.num_layers), axis=-1
         )
@@ -77,11 +82,12 @@ class LayerNet(nn.Module):
         head = UNet(
             self.width, num_levels=3, increase_factor=2.0, num_convs=2,
             width=self.width, ksize=3, output_type="leaky_relu",
-            pooling="max", name="context",
+            pooling="max", dtype=self.dtype, name="context",
         )(ctx)
         kernels = nn.Conv(
-            self.num_layers * self.ksize**2, (1, 1), name="kernel_head"
-        )(head)
+            self.num_layers * self.ksize**2, (1, 1), dtype=self.dtype,
+            name="kernel_head",
+        )(head).astype(jnp.float32)
 
         r = self.ksize // 2
         out = jnp.zeros((b, h, w, 3), radiance.dtype)

@@ -23,6 +23,7 @@ class PathNet(nn.Module):
     ic: int = 36
     intermc: int = 64
     outc: int = 3
+    dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
 
     @nn.compact
     def __call__(self, samples: dict) -> jnp.ndarray:
@@ -33,26 +34,26 @@ class PathNet(nn.Module):
         flat = paths.reshape(b * s, h, w, nf)
         flat = ConvChain(
             self.intermc, width=self.intermc, depth=3, ksize=1, pad=False,
-            name="embedding",
+            dtype=self.dtype, name="embedding",
         )(flat)
 
         reduced = flat.reshape(b, s, h, w, self.intermc).mean(axis=1)
         propagated = UNet(
             self.intermc, num_levels=3, increase_factor=2.0, num_convs=3,
             width=self.intermc, ksize=3, output_type="leaky_relu",
-            pooling="max", name="propagation",
+            pooling="max", dtype=self.dtype, name="propagation",
         )(reduced)
 
         context = jnp.broadcast_to(
             propagated[:, None], (b, s, h, w, self.intermc)
         ).reshape(b * s, h, w, self.intermc)
-        joint = jnp.concatenate([flat, context], axis=-1)
+        joint = jnp.concatenate([flat.astype(context.dtype), context], axis=-1)
 
         out = ConvChain(
             self.outc, width=2 * self.intermc, depth=2, ksize=1, pad=False,
-            output_type="relu", name="final",
+            output_type="relu", dtype=self.dtype, name="final",
         )(joint)
-        return out.reshape(b, s, h, w, self.outc)
+        return out.reshape(b, s, h, w, self.outc).astype(jnp.float32)
 
     def __str__(self):
         return f"PathNet i{self.ic}in{self.intermc}o{self.outc}"

@@ -27,6 +27,7 @@ class Multisteps(nn.Module):
     ksize: int = 21
     n_steps: int = 3
     width: int = 128
+    dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
 
     @nn.compact
     def __call__(self, batch: dict) -> jnp.ndarray:
@@ -39,7 +40,7 @@ class Multisteps(nn.Module):
         x = ConvChain(
             self.width, width=self.width, depth=3, ksize=1, pad=False,
             output_type="leaky_relu", hidden_activation="leaky_relu",
-            name="embedding",
+            dtype=self.dtype, name="embedding",
         )(x)
 
         for step in range(self.n_steps):
@@ -47,7 +48,7 @@ class Multisteps(nn.Module):
             ctx = UNet(
                 self.width, num_levels=3, increase_factor=2.0, num_convs=3,
                 width=self.width, ksize=3, output_type="leaky_relu",
-                pooling="max", name=f"propagation_{step}",
+                pooling="max", dtype=self.dtype, name=f"propagation_{step}",
             )(ctx)
             ctx = jnp.broadcast_to(
                 ctx[:, None], (b, s, h, w, self.width)
@@ -55,10 +56,12 @@ class Multisteps(nn.Module):
             x = ConvChain(
                 self.width, width=self.width, depth=2, ksize=1, pad=False,
                 output_type="leaky_relu", hidden_activation="leaky_relu",
-                name=f"update_{step}",
-            )(jnp.concatenate([x, ctx], axis=-1))
+                dtype=self.dtype, name=f"update_{step}",
+            )(jnp.concatenate([x.astype(ctx.dtype), ctx], axis=-1))
 
-        logits = nn.Conv(self.ksize**2, (1, 1), name="kernel_head")(x)
+        logits = nn.Conv(
+            self.ksize**2, (1, 1), dtype=self.dtype, name="kernel_head"
+        )(x).astype(jnp.float32)
         weights = nn.softmax(logits, axis=-1).reshape(
             b, s, h, w, self.ksize**2
         )

@@ -76,6 +76,9 @@ def gather_tpu(buf, w, ksize):
     """buf (B,H,W,C), w (B,h,w,K^2) -> (B,h,w,C); h = H-K+1."""
     b, H, W, c = buf.shape
     h, ow = H - ksize + 1, W - ksize + 1
+    assert h > 0 and ow > 0, (
+        f"gather: buffer {H}x{W} smaller than kernel window {ksize}"
+    )
     th = _tile_rows(h)
     n_tiles = -(-h // th)
     Hp = n_tiles * th + ksize - 1
@@ -112,12 +115,22 @@ def _scatter_rows_kernel(x_ref, w_ref, s_ref, *, ksize, in_w):
     th = x_ref.shape[2]
     out_w = in_w + ksize - 1
     x_slab = x_ref[0]                     # (C, TH, in_w)
+    zero_pad = jnp.zeros((c, th, ksize - 1), jnp.float32)
     for dy in range(ksize):
+        # Accumulate x-shifted taps; lane shifts are expressed as
+        # concat-with-zeros (Mosaic has no scatter-add primitive).
         acc = jnp.zeros((c, th, out_w), jnp.float32)
         for dx in range(ksize):
             tap = w_ref[0, dy * ksize + dx, :, :]       # (TH, in_w)
             contrib = tap[None, :, :] * x_slab          # (C, TH, in_w)
-            acc = acc.at[:, :, dx:dx + in_w].add(contrib)
+            parts = []
+            if dx > 0:
+                parts.append(zero_pad[:, :, :dx])
+            parts.append(contrib)
+            if dx < ksize - 1:
+                parts.append(zero_pad[:, :, dx:])
+            shifted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+            acc = acc + shifted
         s_ref[0, dy] = acc
 
 

@@ -58,6 +58,11 @@ class TrainConfig:
     kpcn_ksize: int = 21
     sbmc_ksize: int = 21
     finite_check_every: int = 100
+    compute_dtype: str = "bfloat16"   # activations; params/optimizer stay f32
+
+    @property
+    def model_dtype(self):
+        return {"bfloat16": jnp.bfloat16, "float32": None}[self.compute_dtype]
 
     def validate(self):
         """Cross-flag rules (reference train_kpcn.py:428-440)."""
@@ -85,7 +90,9 @@ class TrainConfig:
 
 
 def _sample_batch_kpcn(cfg: TrainConfig, channels: schema.ChannelConfig):
-    b, p, s = 1, 32, 2
+    # patch must exceed the KPCN valid shrink (4*depth + ksize - 1)
+    shrink = 4 * 9 + cfg.kpcn_ksize - 1
+    b, p, s = 1, shrink + 8, 2
     n_in = channels.dncnn_in_size
     z = jnp.zeros
     batch = {
@@ -149,13 +156,14 @@ def _build_kpcn(cfg, lr_pnet, pnet_out, w_manif, key, args):
     )
     n_in = channels.dncnn_in_size + (3 if cfg.kpcn_ref else 0)
 
-    models = {"dncnn": KPCN(n_in=n_in, ksize=cfg.kpcn_ksize)}
+    dt = cfg.model_dtype
+    models = {"dncnn": KPCN(n_in=n_in, ksize=cfg.kpcn_ksize, dtype=dt)}
     if cfg.use_llpm_buf:
         models["backbone_diffuse"] = PathNet(
-            ic=channels.pnet_in_size, outc=pnet_out
+            ic=channels.pnet_in_size, outc=pnet_out, dtype=dt
         )
         models["backbone_specular"] = PathNet(
-            ic=channels.pnet_in_size, outc=pnet_out
+            ic=channels.pnet_in_size, outc=pnet_out, dtype=dt
         )
 
     sample = _sample_batch_kpcn(cfg, channels)
@@ -221,7 +229,9 @@ def _sbmc_like_build(cfg, lr_pnet, pnet_out, key, model_ctor, clip_norm):
     n_in = channels.dncnn_in_size
     models = {"dncnn": model_ctor(n_in)}
     if cfg.use_llpm_buf:
-        models["backbone"] = PathNet(ic=channels.pnet_in_size, outc=pnet_out)
+        models["backbone"] = PathNet(
+            ic=channels.pnet_in_size, outc=pnet_out, dtype=cfg.model_dtype
+        )
 
     base = _sample_batch_sbmc(cfg, channels)
     dncnn_sample = dict(base)
@@ -247,7 +257,9 @@ def _sbmc_like_build(cfg, lr_pnet, pnet_out, key, model_ctor, clip_norm):
 def _build_sbmc(cfg, lr_pnet, pnet_out, w_manif, key, args):
     models, states, optims = _sbmc_like_build(
         cfg, lr_pnet, pnet_out, key,
-        lambda n: Multisteps(n_in=n, ksize=cfg.sbmc_ksize), clip_norm=1000.0,
+        lambda n: Multisteps(n_in=n, ksize=cfg.sbmc_ksize,
+                             dtype=cfg.model_dtype),
+        clip_norm=1000.0,
     )
     loss_funcs = {
         "l_recon": losses.tonemapped_relative_mse,
@@ -273,7 +285,7 @@ def _clamped_smape(im, ref):
 def _build_lbmc(cfg, lr_pnet, pnet_out, w_manif, key, args):
     models, states, optims = _sbmc_like_build(
         cfg, lr_pnet, pnet_out, key,
-        lambda n: LayerNet(n_in=n), clip_norm=250.0,
+        lambda n: LayerNet(n_in=n, dtype=cfg.model_dtype), clip_norm=250.0,
     )
     loss_funcs = {
         "l_recon": _clamped_smape,

@@ -161,7 +161,7 @@ class BaseInterface(abc.ABC):
         for key, val in loss_dict.items():
             acc = self.m_losses.get("m_" + key, jnp.float32(0.0))
             self.m_losses["m_" + key] = acc + val
-        if self.iters % self.finite_check_every == 0:
+        if self.iters <= 1 or self.iters % self.finite_check_every == 0:
             for key, val in loss_dict.items():
                 if not np.isfinite(np.asarray(val)).all():
                     raise RuntimeError(

@@ -1,0 +1,126 @@
+"""Shared epoch training loop.
+
+Counterpart of the reference's ``train / train_epoch_kpcn /
+validate_kpcn`` trio (reference train_kpcn.py:37-161), reused verbatim
+by all three entry points.  Differences are TPU-shaped: batches are
+host numpy (the jitted step moves them), steps pipeline asynchronously
+(no per-batch host sync), and checkpoints are framework-neutral
+pickles.  Epoch-end LR schedulers are plain callables
+``f(epoch) -> {model_name: lr}`` applied to the optimizer states.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Sequence
+
+import numpy as np
+
+from wcmc_tpu.train.checkpoint import save_checkpoint
+from wcmc_tpu.train.state import set_learning_rate
+
+
+def step_lr(base_lr: float, step_size: int, gamma: float):
+    """StepLR schedule (reference train_lbmc.py:196: step 3, gamma 0.5)."""
+
+    def schedule(epoch: int) -> float:
+        return base_lr * gamma ** ((epoch + 1) // step_size)
+
+    return schedule
+
+
+def train_epoch(epoch, interfaces, dataloaders, params, args, verbose=True):
+    assert "train" in dataloaders
+    if verbose:
+        print(f"[][] Epoch {epoch}")
+    for iface in interfaces:
+        iface.to_train_mode()
+    for batch in dataloaders["train"]:
+        for iface in interfaces:
+            iface.preprocess(batch)
+            iface.train_batch(batch)
+    if verbose:
+        for iface in interfaces:
+            iface.get_epoch_summary(mode="train", norm=len(dataloaders["train"]))
+
+
+def validate(epoch, interfaces, dataloaders, params, args, verbose=True):
+    assert "val" in dataloaders
+    if verbose:
+        print(f"[][] Validation (epoch {epoch})")
+    for iface in interfaces:
+        iface.to_eval_mode()
+    for batch in dataloaders["val"]:
+        for iface in interfaces:
+            iface.validate_batch(batch)
+    return [
+        iface.get_epoch_summary(mode="eval", norm=len(dataloaders["val"]))
+        for iface in interfaces
+    ]
+
+
+def train(interfaces, dataloaders, params, args, verbose=True):
+    """Full training driver: epochs, latest/best checkpoints, periodic
+    validation, epoch-end schedulers."""
+    save_dir = getattr(args, "save", "./weights")
+    os.makedirs(save_dir, exist_ok=True)
+    model_name = getattr(args, "model_name", "model")
+    num_epoch = getattr(args, "num_epoch", 1)
+    start_epoch = getattr(args, "start_epoch", 0)
+    val_epoch = getattr(args, "val_epoch", 1)
+    not_save = getattr(args, "not_save", False)
+    desc = getattr(args, "desc", "")
+
+    if len(interfaces) == 1:
+        save_fns = [model_name + ".ckpt"]
+    else:
+        save_fns = [
+            f"{model_name}_trial{i}.ckpt" for i in range(len(interfaces))
+        ]
+
+    for epoch in range(start_epoch, num_epoch):
+        start_time = time.time()
+        train_epoch(epoch, interfaces, dataloaders, params, args, verbose)
+        if verbose:
+            print(f"[][] Elapsed time: {int(time.time() - start_time)}")
+
+        if not not_save:
+            for iface, fn in zip(interfaces, save_fns):
+                save_checkpoint(
+                    os.path.join(save_dir, "latest_" + fn), iface, epoch,
+                    args=args, description=desc,
+                )
+
+        if epoch % val_epoch == val_epoch - 1:
+            summaries = validate(
+                epoch, interfaces, dataloaders, params, args, verbose
+            )
+            for iface, fn, summary in zip(interfaces, save_fns, summaries):
+                if summary < iface.best_err:
+                    iface.best_err = summary
+                    if not not_save:
+                        save_checkpoint(
+                            os.path.join(save_dir, fn), iface, epoch,
+                            args=args, description=desc,
+                        )
+                        if verbose:
+                            print(f"[][] Model {fn} saved at epoch {epoch}.")
+                if verbose:
+                    print(
+                        f"[][] Model {fn} RelMSE: {summary * 1000:.3f}e-3 \t "
+                        f"Best RelMSE: {iface.best_err * 1000:.3f}e-3"
+                    )
+
+        # epoch-end schedulers: params['sched_<model>'] -> lr callable
+        for key, sched in params.items():
+            if not key.startswith("sched_"):
+                continue
+            name = key[len("sched_"):]
+            for iface in interfaces:
+                if name in iface.states:
+                    set_learning_rate(
+                        iface.states[name].opt_state, sched(epoch)
+                    )
+    if verbose:
+        print("[] Training complete!")
