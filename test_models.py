@@ -56,6 +56,9 @@ def build_interface(args):
 
 
 def main(args):
+    from wcmc_tpu.cli import configure_backend
+
+    configure_backend()
     iface, base = build_interface(args)
     input_dir = os.path.join(args.data_dir, "test", "input")
     results = denoise(
@@ -70,6 +73,7 @@ def main(args):
         use_llpm_buf=args.use_llpm_buf,
         pnet_out_size=args.pnet_out_size[0],
         save_figures=args.save_figures,
+        rhf=args.rhf,
     )
     for (scene, spp), v in sorted(results.items()):
         print(

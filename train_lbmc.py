@@ -16,6 +16,7 @@ import numpy as np
 
 from wcmc_tpu.cli import (
     BasicArgumentParser,
+    configure_backend,
     add_common_train_flags,
     add_manifold_flags,
     validate_manifold_flags,
@@ -93,6 +94,13 @@ def init_model(dataset, args):
             print("Pretraining weights are loaded.")
         else:
             print("Train models from scratch.")
+    if getattr(args, "n_devices", 0) and args.n_devices > 1:
+        from wcmc_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.n_devices)
+        for iface in interfaces:
+            iface.to_mesh(mesh)
+        print(f"Data parallel over {args.n_devices} devices")
     params = {
         "plots": {},
         "data_device": 0,
@@ -104,6 +112,7 @@ def init_model(dataset, args):
 
 
 def main(args):
+    configure_backend()
     np.random.seed(args.seed)
     dataset, dataloaders = init_data(args)
     interfaces, params = init_model(dataset, args)

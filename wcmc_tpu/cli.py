@@ -8,6 +8,20 @@ train_kpcn.py:385-424, train_sbmc.py:235-272, train_lbmc.py:235-270).
 from __future__ import annotations
 
 import argparse
+import os
+
+
+def configure_backend():
+    """Honor JAX_PLATFORMS before the first backend touch.
+
+    The axon TPU plugin can override the env var; an explicit config
+    update makes ``JAX_PLATFORMS=cpu python train_*.py`` reliable.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 class BasicArgumentParser(argparse.ArgumentParser):

@@ -32,6 +32,32 @@ from wcmc_tpu.data import preprocess, schema
 PATCH_SIZE = schema.PATCH_SIZE
 
 
+def get_valid_path(path: str, fallback_roots=None) -> str:
+    """Multi-root data failover (counterpart of the reference's
+    ssd1/ssd2/ssd3/hdd1 disk fallback, reference datasets.py:39-56).
+
+    When ``path`` is missing, retry with each root in
+    ``fallback_roots`` (default: the WCMC_DATA_FALLBACKS env var,
+    colon-separated) substituted for the leading directory component.
+    """
+    if os.path.isfile(path):
+        return path
+    roots = fallback_roots
+    if roots is None:
+        env = os.environ.get("WCMC_DATA_FALLBACKS", "")
+        roots = [r for r in env.split(":") if r]
+    for root in roots:
+        # keep the path relative to its dataset tree: swap everything
+        # before the '/<mode>/' component
+        for mode in ("train", "val", "test"):
+            marker = os.sep + mode + os.sep
+            if marker in path:
+                cand = os.path.join(root, path[path.index(marker) + 1:])
+                if os.path.isfile(cand):
+                    return cand
+    raise FileNotFoundError(path)
+
+
 def _cache_name(in_fn: str, tag: str) -> str:
     base, ext = os.path.splitext(in_fn)
     return f"{base}_{tag}{ext}"
@@ -367,6 +393,47 @@ class DenoiseDataset:
         if self._cached_idx != img_idx or self._patches is None:
             self._cut_patches(img_idx)
         return self._patches[pat_idx]
+
+    def get_stats(self, keys=None):
+        """Per-channel running mean/std/min/max over all images
+        (reference support/datasets.py:912-1023).  Use for data
+        standardization of custom datasets; do NOT standardize
+        radiance/buffer/target channels."""
+        if len(self.gt_files) == 0:
+            raise RuntimeError("No data assigned for the DenoiseDataset")
+        agg = {}
+        n_pix = {}
+        for img_idx in range(len(self.gt_files)):
+            sample, _ = self._load_image(img_idx)
+            use = keys or list(sample)
+            for k in use:
+                v = np.asarray(sample[k], np.float64)
+                flat = v.reshape(-1, v.shape[-1])
+                a = agg.setdefault(
+                    k,
+                    {
+                        "sum": 0.0, "sumsq": 0.0,
+                        "min": np.full(v.shape[-1], np.inf),
+                        "max": np.full(v.shape[-1], -np.inf),
+                    },
+                )
+                a["sum"] = a["sum"] + flat.sum(axis=0)
+                a["sumsq"] = a["sumsq"] + (flat**2).sum(axis=0)
+                a["min"] = np.minimum(a["min"], flat.min(axis=0))
+                a["max"] = np.maximum(a["max"], flat.max(axis=0))
+                n_pix[k] = n_pix.get(k, 0) + flat.shape[0]
+        stats = {}
+        for k, a in agg.items():
+            n = n_pix[k]
+            mean = a["sum"] / n
+            var = np.maximum(a["sumsq"] / n - mean**2, 0.0) * n / max(n - 1, 1)
+            stats[k] = {
+                "mean": mean.astype(np.float32),
+                "std": np.sqrt(var).astype(np.float32),
+                "min": a["min"].astype(np.float32),
+                "max": a["max"].astype(np.float32),
+            }
+        return stats
 
 
 class MSDenoiseDataset:

@@ -151,6 +151,7 @@ def denoise(
     use_llpm_buf: bool = False,
     pnet_out_size: int = 3,
     save_figures: bool = False,
+    rhf: bool = False,
     batch_size_fn=lambda spp: 8 if spp <= 32 else 4,
 ):
     """Scene x spp evaluation sweep -> nested results dict + CSVs."""
@@ -174,6 +175,15 @@ def denoise(
             out_rad, out_path, dt = inference(
                 interface, ds, batch_size_fn(spp)
             )
+            if rhf and out_path is not None:
+                # p-buffer export for RHF-style visualization
+                # (reference test_models.py:184-194)
+                pb = out_path["diffuse"] if isinstance(out_path, dict) else out_path
+                np.save(
+                    os.path.join(output_dir, f"p_buffer_{scene}_{spp}.npy"),
+                    pb,
+                )
+                return {}
             res, res_in = evaluate_frame(
                 out_rad, ds.full_tgt, ds.full_ipt, ds.has_hit
             )

@@ -41,6 +41,9 @@ class LayerNet(nn.Module):
     width: int = 96
     embed_width: int = 32
     dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
+    # sample-parallel mode: spp axis sharded over this mesh axis; the
+    # per-layer sample accumulations become psums over ICI
+    sample_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, batch: dict) -> jnp.ndarray:
@@ -68,15 +71,29 @@ class LayerNet(nn.Module):
         )
 
         # Per-layer weighted averages over the sample axis.
+        def sample_sum(x):
+            out = x.sum(axis=1)
+            if self.sample_axis_name is not None:
+                import jax
+
+                out = jax.lax.psum(out, self.sample_axis_name)
+            return out
+
+        global_s = s
+        if self.sample_axis_name is not None:
+            import jax
+
+            global_s = s * jax.lax.axis_size(self.sample_axis_name)
+
         layer_feats, layer_rads, occupancy = [], [], []
         emb = emb.reshape(b, s, h, w, self.embed_width)
         for l in range(self.num_layers):
             wl = lw[..., l:l + 1]                       # (B,S,H,W,1)
-            wsum = wl.sum(axis=1)                       # (B,H,W,1)
+            wsum = sample_sum(wl)                       # (B,H,W,1)
             inv = 1.0 / (wsum + 1e-6)
-            layer_rads.append((wl * tm_rad).sum(axis=1) * inv)
-            layer_feats.append((wl * emb).sum(axis=1) * inv)
-            occupancy.append(wsum / s)
+            layer_rads.append(sample_sum(wl * tm_rad) * inv)
+            layer_feats.append(sample_sum(wl * emb) * inv)
+            occupancy.append(wsum / global_s)
 
         ctx = jnp.concatenate(layer_rads + layer_feats + occupancy, axis=-1)
         head = UNet(
@@ -94,14 +111,14 @@ class LayerNet(nn.Module):
         # Filter *linear* per-layer radiance so the composite stays linear.
         for l in range(self.num_layers):
             wl = lw[..., l:l + 1]
-            wsum = wl.sum(axis=1)
-            lin_rad = (wl * radiance).sum(axis=1) / (wsum + 1e-6)
+            wsum = sample_sum(wl)
+            lin_rad = sample_sum(wl * radiance) / (wsum + 1e-6)
             padded = jnp.pad(
                 lin_rad, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge"
             )
             k_l = kernels[..., l * self.ksize**2:(l + 1) * self.ksize**2]
             filtered = kernel_apply(padded, k_l, self.ksize, softmax=True)
-            out = out + filtered * (wsum / s)
+            out = out + filtered * (wsum / global_s)
         return out
 
     def __str__(self):

@@ -24,6 +24,9 @@ class PathNet(nn.Module):
     intermc: int = 64
     outc: int = 3
     dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
+    # sample-parallel mode: when set, the spp axis is sharded over this
+    # mesh axis and the sample-mean reduction becomes a pmean over ICI
+    sample_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, samples: dict) -> jnp.ndarray:
@@ -38,6 +41,10 @@ class PathNet(nn.Module):
         )(flat)
 
         reduced = flat.reshape(b, s, h, w, self.intermc).mean(axis=1)
+        if self.sample_axis_name is not None:
+            import jax
+
+            reduced = jax.lax.pmean(reduced, self.sample_axis_name)
         propagated = UNet(
             self.intermc, num_levels=3, increase_factor=2.0, num_convs=3,
             width=self.intermc, ksize=3, output_type="leaky_relu",

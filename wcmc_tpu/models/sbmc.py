@@ -28,6 +28,9 @@ class Multisteps(nn.Module):
     n_steps: int = 3
     width: int = 128
     dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
+    # sample-parallel mode: spp axis sharded over this mesh axis; the
+    # sample-context means and splat normalization become collectives
+    sample_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, batch: dict) -> jnp.ndarray:
@@ -45,6 +48,10 @@ class Multisteps(nn.Module):
 
         for step in range(self.n_steps):
             ctx = x.reshape(b, s, h, w, self.width).mean(axis=1)
+            if self.sample_axis_name is not None:
+                import jax
+
+                ctx = jax.lax.pmean(ctx, self.sample_axis_name)
             ctx = UNet(
                 self.width, num_levels=3, increase_factor=2.0, num_convs=3,
                 width=self.width, ksize=3, output_type="leaky_relu",
@@ -65,7 +72,10 @@ class Multisteps(nn.Module):
         weights = nn.softmax(logits, axis=-1).reshape(
             b, s, h, w, self.ksize**2
         )
-        return splat_normalized(radiance, weights, self.ksize)
+        return splat_normalized(
+            radiance, weights, self.ksize,
+            sample_axis_name=self.sample_axis_name,
+        )
 
     def __str__(self):
         return f"Multisteps i{self.n_in} k{self.ksize} s{self.n_steps} w{self.width}"

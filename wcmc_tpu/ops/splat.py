@@ -34,12 +34,15 @@ def kernel_splat(x, weights, ksize: int):
     return full[:, r:r + x.shape[1], r:r + x.shape[2], :]
 
 
-def splat_normalized(values, weights, ksize: int, eps: float = 1e-8):
+def splat_normalized(values, weights, ksize: int, eps: float = 1e-8,
+                     sample_axis_name: str | None = None):
     """Weight-normalized splat over the sample axis.
 
     Args:
       values:  (B, S, h, w, C) per-sample values.
       weights: (B, S, h, w, K*K) per-sample non-negative weights.
+      sample_axis_name: when the spp axis is sharded over a mesh axis,
+        the numerator/denominator sums become psums over ICI.
     Returns:
       (B, h, w, C): sum_s splat(v_s * w_s) / (sum_s splat(w_s) + eps).
     """
@@ -49,4 +52,7 @@ def splat_normalized(values, weights, ksize: int, eps: float = 1e-8):
     num = kernel_splat(v, wt, ksize).reshape(b, s, h, w, c).sum(axis=1)
     ones = jnp.ones((b * s, h, w, 1), values.dtype)
     den = kernel_splat(ones, wt, ksize).reshape(b, s, h, w, 1).sum(axis=1)
+    if sample_axis_name is not None:
+        num = jax.lax.psum(num, sample_axis_name)
+        den = jax.lax.psum(den, sample_axis_name)
     return num / (den + eps)

@@ -4,3 +4,8 @@ from wcmc_tpu.parallel.mesh import (
     replicate,
     data_parallel_step,
 )
+from wcmc_tpu.parallel.halo import (
+    make_spatial_inference,
+    kpcn_spatial_inference,
+)
+from wcmc_tpu.parallel.sample import make_sample_parallel

@@ -97,9 +97,40 @@ class BaseInterface(abc.ABC):
         self.fixed_batch = None
         self.finite_check_every = finite_check_every
 
+        # optional debug: dump the p-buffer as PNG every N iters
+        # (reference interfaces.py:130-137 dumps every 1000)
+        self.pbuf_dump_dir: str | None = None
+        self.pbuf_dump_every: int = 1000
+
         self._key = jax.random.PRNGKey(seed)
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0,))
         self._val_step = jax.jit(self._make_val_step())
+
+    def _maybe_dump_pbuffer(self, batch):
+        if self.pbuf_dump_dir is None or not self.use_llpm_buf:
+            return
+        if self.iters % self.pbuf_dump_every != 1:
+            return
+        import os
+
+        from wcmc_tpu.utils.img_utils import write_img
+
+        os.makedirs(self.pbuf_dump_dir, exist_ok=True)
+        _, p_buffers, _ = self._val_step(self.states, batch)
+        if p_buffers is None:
+            return
+        if not isinstance(p_buffers, dict):
+            p_buffers = {"p": p_buffers}
+        for name, pb in p_buffers.items():
+            img = np.clip(
+                np.asarray(pb)[0, :, :, :, :3].mean(axis=0), 0.0, 1.0
+            )
+            write_img(
+                os.path.join(
+                    self.pbuf_dump_dir, f"pbuf_{name}_{self.iters}.png"
+                ),
+                img,
+            )
 
     # -- subclass hooks -----------------------------------------------------
     @abc.abstractmethod
@@ -145,6 +176,7 @@ class BaseInterface(abc.ABC):
                 self._next_key(),
             )
             return loss_dict
+        self._maybe_dump_pbuffer(batch)
         self.states, loss_dict = self._train_step(
             self.states, batch, self._next_key()
         )
@@ -186,6 +218,32 @@ class BaseInterface(abc.ABC):
     # parameters exposed for checkpointing
     def state_dicts(self):
         return {name: self.states[name] for name in self.states}
+
+    def to_mesh(self, mesh):
+        """Switch to data-parallel execution over a device mesh: states
+        replicated, batches sharded on the leading axis, gradients
+        all-reduced over ICI by XLA (replaces the reference's
+        nn.DataParallel, train_kpcn.py:260-271)."""
+        from wcmc_tpu.parallel.mesh import (
+            data_parallel_step, replicate, shard_batch,
+        )
+
+        self._mesh = mesh
+        self.states = replicate(self.states, mesh)
+        dp_step = data_parallel_step(self._make_train_step(), mesh)
+        raw_val = self._make_val_step()
+
+        def train_step(states, batch, key):
+            with mesh:
+                return dp_step(states, shard_batch(batch, mesh), key)
+
+        def val_step(states, batch):
+            with mesh:
+                return jax.jit(raw_val)(states, shard_batch(batch, mesh))
+
+        self._train_step = train_step
+        self._val_step = val_step
+        return self
 
 
 # ===========================================================================

@@ -36,13 +36,27 @@ def train_epoch(epoch, interfaces, dataloaders, params, args, verbose=True):
         print(f"[][] Epoch {epoch}")
     for iface in interfaces:
         iface.to_train_mode()
+    writer = params.get("metrics_writer")
+    timer = params.setdefault("step_timer", _new_timer())
     for batch in dataloaders["train"]:
         for iface in interfaces:
             iface.preprocess(batch)
-            iface.train_batch(batch)
+            loss_dict = iface.train_batch(batch)
+            timer.tick()
+            if writer is not None and iface.iters % 50 == 0:
+                writer.log(iface.iters, loss_dict, prefix="train/")
+                writer.log(iface.iters, {"step_ms": timer.mean_ms}, prefix="perf/")
     if verbose:
         for iface in interfaces:
             iface.get_epoch_summary(mode="train", norm=len(dataloaders["train"]))
+        if timer.mean_ms == timer.mean_ms:  # not NaN
+            print(f"[][] Mean step time: {timer.mean_ms:.1f} ms")
+
+
+def _new_timer():
+    from wcmc_tpu.utils.observability import StepTimer
+
+    return StepTimer()
 
 
 def validate(epoch, interfaces, dataloaders, params, args, verbose=True):
@@ -79,9 +93,27 @@ def train(interfaces, dataloaders, params, args, verbose=True):
             f"{model_name}_trial{i}.ckpt" for i in range(len(interfaces))
         ]
 
+    if getattr(args, "visual", False):
+        if "metrics_writer" not in params:
+            from wcmc_tpu.utils.observability import MetricsWriter
+
+            params["metrics_writer"] = MetricsWriter(
+                os.path.join(save_dir, "logs", model_name)
+            )
+        for iface in interfaces:
+            iface.pbuf_dump_dir = os.path.join(
+                save_dir, "logs", model_name, "pbuf"
+            )
+
+    from wcmc_tpu.utils.observability import maybe_profile
+
     for epoch in range(start_epoch, num_epoch):
         start_time = time.time()
-        train_epoch(epoch, interfaces, dataloaders, params, args, verbose)
+        profile_dir = (
+            getattr(args, "profile_dir", None) if epoch == start_epoch else None
+        )
+        with maybe_profile(profile_dir):
+            train_epoch(epoch, interfaces, dataloaders, params, args, verbose)
         if verbose:
             print(f"[][] Elapsed time: {int(time.time() - start_time)}")
 
