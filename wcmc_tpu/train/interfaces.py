@@ -289,15 +289,24 @@ class KPCNInterface(BaseInterface):
         self.iters += 1
 
     # -- functional pieces --------------------------------------------------
-    def _forward_with_paths(self, params, batch, for_training=True):
-        """PathNet forward + disentangle + input concat.  Returns
-        (augmented batch, manifold buffers dict or None)."""
+    def _dual_pathnet(self, params, batch):
+        """Run the diffuse and specular PathNets.
+
+        NOTE(perf): a vmapped-weights joint forward was measured slower
+        on v5e than two sequential applies (XLA lowers vmapped-filter
+        convolutions poorly), so this stays sequential."""
         p_d = self.models["backbone_diffuse"].apply(
             {"params": params["backbone_diffuse"]}, batch
         )
         p_s = self.models["backbone_specular"].apply(
             {"params": params["backbone_specular"]}, batch
         )
+        return p_d, p_s
+
+    def _forward_with_paths(self, params, batch, for_training=True):
+        """PathNet forward + disentangle + input concat.  Returns
+        (augmented batch, manifold buffers dict or None)."""
+        p_d, p_s = self._dual_pathnet(params, batch)
         manif_d, recon_d = split_disentangle(p_d, self.disentanglement_option)
         manif_s, recon_s = split_disentangle(p_s, self.disentanglement_option)
         new_batch = dict(batch)
@@ -385,12 +394,7 @@ class KPCNInterface(BaseInterface):
             p_buffers = None
             net_batch = batch
             if self.use_llpm_buf:
-                p_d = self.models["backbone_diffuse"].apply(
-                    {"params": params["backbone_diffuse"]}, batch
-                )
-                p_s = self.models["backbone_specular"].apply(
-                    {"params": params["backbone_specular"]}, batch
-                )
+                p_d, p_s = self._dual_pathnet(params, batch)
                 if self.disentanglement_option in ("m10r01", "m11r01"):
                     c = p_d.shape[-1]
                     p_d = p_d[..., :c // 2]
@@ -466,12 +470,7 @@ class KPCNPreInterface(KPCNInterface):
             backbone_names = ["backbone_diffuse", "backbone_specular"]
 
             def loss_fn(params, batch, key):
-                p_d = self.models["backbone_diffuse"].apply(
-                    {"params": params["backbone_diffuse"]}, batch
-                )
-                p_s = self.models["backbone_specular"].apply(
-                    {"params": params["backbone_specular"]}, batch
-                )
+                p_d, p_s = self._dual_pathnet(params, batch)
                 kd, ks = jax.random.split(key)
                 l_md = lf["l_manif"](kd, p_d, batch["target_diffuse"])
                 l_ms = lf["l_manif"](ks, p_s, batch["target_specular"])
