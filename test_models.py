@@ -74,6 +74,7 @@ def main(args):
         pnet_out_size=args.pnet_out_size[0],
         save_figures=args.save_figures,
         rhf=args.rhf,
+        feat_imp=args.feat_imp,
     )
     for (scene, spp), v in sorted(results.items()):
         print(
@@ -95,6 +96,9 @@ if __name__ == "__main__":
     parser.add_argument("--save_figures", action="store_true")
     parser.add_argument("--rhf", action="store_true",
                         help="export the p-buffer for RHF visualization.")
+    parser.add_argument("--feat_imp", action="store_true",
+                        help="feature-importance permutation test: shuffle "
+                        "path descriptors across positions before inference.")
     # model-config flags (must match training)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--lr_dncnn", type=float, default=1e-4)

@@ -109,6 +109,26 @@ def test_batch_loader_collates(data_root):
     assert len(loader) == len(ds) // 2
 
 
+def test_batch_loader_never_mixes_shapes():
+    """Multi-spp boundaries must start a fresh batch (different S dims
+    cannot be stacked)."""
+
+    class FakeDS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            s = 2 if i < 3 else 4   # spp changes at i=3
+            return {"radiance": np.zeros((s, 8, 8, 3), np.float32)}
+
+    loader = BatchLoader(FakeDS(), batch_size=2)
+    batches = list(loader)
+    shapes = [b["radiance"].shape for b in batches]
+    assert (2, 2, 8, 8, 3) in shapes and (2, 4, 8, 8, 3) in shapes
+    for b in batches:
+        assert b["radiance"].shape[0] == 2
+
+
 def test_full_image_dataset_tiling(data_root):
     fn = os.path.join(data_root, "test", "input", "scene0.npy")
     ds = FullImageDataset(fn, 4, "kpcn", use_llpm_buf=True)
@@ -132,6 +152,46 @@ def test_full_image_multispp_parts(data_root):
     ds = FullImageDataset(fn, 8, "sbmc", use_sbmc_buf=True)
     tile, _ = ds[0]
     assert tile["radiance"].shape == (8, 128, 128, 3)
+
+
+def test_augmentation_flag(data_root):
+    """augment=True applies flips/rotations; shapes and finiteness hold
+    (the reference defines but disables augmentation,
+    datasets.py:718-758)."""
+    ds = DenoiseDataset(data_root, 4, "kpcn", "train", batch_size=4,
+                        augment=True, seed=3)
+    patch = ds[0]
+    assert patch["kpcn_diffuse_in"].shape == (128, 128, 34)
+    assert np.isfinite(patch["kpcn_diffuse_in"]).all()
+
+
+def test_random_flip_rot_are_involutions(rng):
+    patch = {"a": rng.random((8, 8, 3)).astype(np.float32)}
+    flipped = DenoiseDataset.random_flip(
+        dict(patch), np.random.default_rng(1)
+    )
+    assert flipped["a"].shape == (8, 8, 3)
+    rot = DenoiseDataset.random_rot(dict(patch), np.random.default_rng(2))
+    assert rot["a"].shape == (8, 8, 3)
+    # rotating 4x by the same k returns the original
+    k = 1
+    r = patch["a"]
+    for _ in range(4):
+        r = np.rot90(r, k, axes=(0, 1))
+    np.testing.assert_array_equal(r, patch["a"])
+
+
+def test_get_valid_path_fallback(tmp_path):
+    from wcmc_tpu.data.dataset import get_valid_path
+
+    real = tmp_path / "alt" / "train" / "gt"
+    real.mkdir(parents=True)
+    (real / "x.npy").write_bytes(b"00")
+    missing = str(tmp_path / "gone" / "train" / "gt" / "x.npy")
+    found = get_valid_path(missing, fallback_roots=[str(tmp_path / "alt")])
+    assert found == str(real / "x.npy")
+    with pytest.raises(FileNotFoundError):
+        get_valid_path(missing, fallback_roots=[])
 
 
 def test_grid_sampling_deterministic(data_root):

@@ -224,6 +224,7 @@ class DenoiseDataset:
         pnet_out_size: int = 3,
         seed: int = 0,
         patches_per_image: int | None = None,
+        augment: bool = False,
     ):
         if base_model not in ("sbmc", "kpcn", "lbmc"):
             raise RuntimeError(f"Unknown baseline model {base_model}")
@@ -265,6 +266,7 @@ class DenoiseDataset:
         self._cached_idx = None
         self._patches = None
         self._alias_samplers: dict = {}
+        self.augment = augment
 
     # channel-size accessors matching the reference attribute names
     @property
@@ -375,16 +377,56 @@ class DenoiseDataset:
         # (numpy fallback inside when the native lib isn't built)
         from wcmc_tpu.data.native_loader import extract_patches
 
-        per_key = {
-            k: extract_patches(
-                np.ascontiguousarray(v, np.float32), coords, PATCH_SIZE
-            )
-            for k, v in sample.items()
-        }
-        self._patches = [
-            {k: per_key[k][i] for k in per_key} for i in range(len(coords))
-        ]
+        if self.augment:
+            # augmentation needs (H, W, ...) layout; go patch by patch
+            self._patches = []
+            for x, y in coords:
+                patch = {
+                    k: np.ascontiguousarray(v[x:x + PATCH_SIZE, y:y + PATCH_SIZE])
+                    for k, v in sample.items()
+                }
+                patch = self.random_rot(
+                    self.random_flip(patch, self._rng), self._rng
+                )
+                self._patches.append(self._to_model_layout(patch))
+        else:
+            per_key = {
+                k: extract_patches(
+                    np.ascontiguousarray(v, np.float32), coords, PATCH_SIZE
+                )
+                for k, v in sample.items()
+            }
+            self._patches = [
+                {k: per_key[k][i] for k in per_key}
+                for i in range(len(coords))
+            ]
         self._cached_idx = img_idx
+
+    @staticmethod
+    def random_flip(patch: dict, rng: np.random.Generator) -> dict:
+        """Random horizontal/vertical flip of all spatial buffers.
+
+        Defined-but-disabled augmentation, mirroring the reference
+        (support/datasets.py:736-758; call commented out at 1142-1143).
+        Enable via ``DenoiseDataset(..., augment=True)``.
+        Operates on pre-transpose (H, W, ...) patches.
+        """
+        if rng.integers(0, 2):
+            patch = {k: np.flip(v, axis=0).copy() for k, v in patch.items()}
+        if rng.integers(0, 2):
+            patch = {k: np.flip(v, axis=1).copy() for k, v in patch.items()}
+        return patch
+
+    @staticmethod
+    def random_rot(patch: dict, rng: np.random.Generator) -> dict:
+        """Random 90-degree rotation (reference support/datasets.py:718-734)."""
+        k = int(rng.integers(0, 4))
+        if k:
+            patch = {
+                k2: np.rot90(v, k, axes=(0, 1)).copy()
+                for k2, v in patch.items()
+            }
+        return patch
 
     @staticmethod
     def _to_model_layout(patch: dict) -> dict:
@@ -482,9 +524,15 @@ class MSDenoiseDataset:
 
 class BatchLoader:
     """Minimal sequential batch collator (the reference uses a 1-worker
-    torch DataLoader, train_kpcn.py:177-188).  Batches with mixed spp
-    are impossible by construction: a batch never crosses an image
-    boundary because patches_per_image is a multiple of batch_size."""
+    torch DataLoader, train_kpcn.py:177-188).
+
+    Multi-spp datasets serve examples whose sample axis differs between
+    sub-datasets; a batch must therefore never mix shapes.  With the
+    reference hyperparameters (patches_per_image a multiple of
+    batch_size) boundaries align naturally; for other settings the
+    loader starts a fresh batch at every shape change and drops the
+    heterogeneous remainder.
+    """
 
     def __init__(self, dataset, batch_size: int, drop_last: bool = True):
         self.dataset = dataset
@@ -495,11 +543,25 @@ class BatchLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    @staticmethod
+    def _shapes(item):
+        return tuple(sorted((k, v.shape) for k, v in item.items()))
+
     def __iter__(self) -> Iterator[dict]:
-        n = len(self.dataset)
-        for start in range(0, n - self.batch_size + 1, self.batch_size):
-            items = [self.dataset[i] for i in range(start, start + self.batch_size)]
+        pending: list = []
+        for i in range(len(self.dataset)):
+            item = self.dataset[i]
+            if pending and self._shapes(item) != self._shapes(pending[0]):
+                pending = []  # drop partial batch at a shape boundary
+            pending.append(item)
+            if len(pending) == self.batch_size:
+                yield {
+                    k: np.stack([it[k] for it in pending], axis=0)
+                    for k in pending[0]
+                }
+                pending = []
+        if pending and not self.drop_last:
             yield {
-                k: np.stack([it[k] for it in items], axis=0)
-                for k in items[0]
+                k: np.stack([it[k] for it in pending], axis=0)
+                for k in pending[0]
             }

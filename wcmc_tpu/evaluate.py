@@ -152,6 +152,7 @@ def denoise(
     pnet_out_size: int = 3,
     save_figures: bool = False,
     rhf: bool = False,
+    feat_imp: bool = False,
     batch_size_fn=lambda spp: 8 if spp <= 32 else 4,
 ):
     """Scene x spp evaluation sweep -> nested results dict + CSVs."""
@@ -171,6 +172,7 @@ def denoise(
             ds = FullImageDataset(
                 os.path.join(input_dir, scene + ".npy"), spp, base_model,
                 use_g_buf, use_sbmc_buf, use_llpm_buf, pnet_out_size,
+                feat_imp=feat_imp,
             )
             out_rad, out_path, dt = inference(
                 interface, ds, batch_size_fn(spp)

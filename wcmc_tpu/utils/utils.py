@@ -64,3 +64,9 @@ def tonemap_gamma(img):
     (reference support/losses.py:63-65; 0.454545 = 1/2.2)."""
     img = jnp.maximum(img, 0.0)
     return (img / (1.0 + img)) ** 0.454545
+
+
+# reference-style aliases (support/utils.py public names)
+ToneMap = tonemap_reinhard_lum
+LinearToSrgb = linear_to_srgb
+ToneMapBatch = tonemap_batch
