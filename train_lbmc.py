@@ -41,7 +41,8 @@ def init_data(args):
             args.data_dir, 8, "lbmc", "val", BS_VAL, "grid",
             use_g_buf=True, use_sbmc_buf=False,
             use_llpm_buf=args.use_llpm_buf, pnet_out_size=0, seed=args.seed,
-            patches_per_image=args.patches_per_image,
+            patches_per_image=(max(args.patches_per_image, BS_VAL)
+                               if args.patches_per_image else None),
         ),
     }
     dataloaders = {

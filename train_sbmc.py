@@ -40,7 +40,8 @@ def init_data(args):
             args.data_dir, 8, "sbmc", "val", BS_VAL, "grid",
             use_g_buf=args.use_g_buf, use_sbmc_buf=args.use_sbmc_buf,
             use_llpm_buf=args.use_llpm_buf, pnet_out_size=0, seed=args.seed,
-            patches_per_image=args.patches_per_image,
+            patches_per_image=(max(args.patches_per_image, BS_VAL)
+                               if args.patches_per_image else None),
         ),
     }
     dataloaders = {

@@ -60,8 +60,10 @@ def preprocess_sbmc(sample: jnp.ndarray):
 
     reference support/datasets.py:363-485.
     """
-    total = jnp.maximum(_rng(sample, schema.RADIANCE), 0.0)
-    diffuse = jnp.maximum(_rng(sample, schema.DIFFUSE), 0.0)
+    # clip the LINEAR radiance channels so 1e38 NaN sentinels can't
+    # overflow f32 in downstream squared-error math (see preprocess_kpcn)
+    total = jnp.clip(_rng(sample, schema.RADIANCE), 0.0, 1e10)
+    diffuse = jnp.clip(_rng(sample, schema.DIFFUSE), 0.0, 1e10)
     specular = jnp.log1p(jnp.maximum(total - diffuse, 0.0)) / 10.0
     subpixel = _rng(sample, schema.SUBPIXEL)
     g_buffer = sample[..., schema.ALBEDO_AT_FIRST[0]:schema.HAS_HIT[1]]

