@@ -79,6 +79,47 @@ def test_train_loop_scheduler_applied(tmp_path, rng):
     assert lr == pytest.approx(1e-7, rel=1e-3)
 
 
+def test_device_prefetcher(rng):
+    from wcmc_tpu.data.prefetch import DevicePrefetcher
+
+    batches = [
+        {"x": rng.random((2, 4, 4, 3)).astype(np.float32)} for _ in range(5)
+    ]
+    pf = DevicePrefetcher(ListLoader(batches), depth=2)
+    out = list(pf)
+    assert len(out) == 5
+    for a, b in zip(out, batches):
+        np.testing.assert_array_equal(np.asarray(a["x"]), b["x"])
+    # exceptions from the loader propagate
+    class Boom:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            raise RuntimeError("boom")
+            yield  # pragma: no cover
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DevicePrefetcher(Boom()))
+
+
+def test_train_loop_with_prefetcher(tmp_path, rng):
+    from wcmc_tpu.data.prefetch import DevicePrefetcher
+
+    cfg = TrainConfig(base_model="kpcn", kpcn_ksize=5, finite_check_every=1,
+                      compute_dtype="float32")
+    iface = init_interfaces(cfg)[0]
+    batch = synthetic_batch(rng, "kpcn", batch_size=2, patch=48, spp=2)
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    loaders = {
+        "train": DevicePrefetcher(ListLoader([host, host])),
+        "val": DevicePrefetcher(ListLoader([host])),
+    }
+    args = _args(tmp_path, model_name="LOOP_prefetch", num_epoch=1)
+    train([iface], loaders, {}, args, verbose=False)
+    assert iface.best_err < 1e10
+
+
 def test_train_loop_not_save(tmp_path, rng):
     cfg = TrainConfig(base_model="kpcn", kpcn_ksize=5, finite_check_every=1,
                       compute_dtype="float32")

@@ -44,9 +44,13 @@ def init_data(args):
                                if args.patches_per_image else None),
         ),
     }
+    from wcmc_tpu.data.prefetch import DevicePrefetcher
+
     dataloaders = {
-        "train": BatchLoader(datasets["train"], args.batch_size),
-        "val": BatchLoader(datasets["val"], BS_VAL),
+        "train": DevicePrefetcher(
+            BatchLoader(datasets["train"], args.batch_size)
+        ),
+        "val": DevicePrefetcher(BatchLoader(datasets["val"], BS_VAL)),
     }
     return datasets, dataloaders
 
