@@ -64,6 +64,30 @@ def test_tiled_inference_matches_untiled(eval_root, kpcn_iface):
     np.testing.assert_allclose(inner, out_full, rtol=1e-4, atol=1e-5)
 
 
+def test_auto_padding_nondivisible_frame(tmp_path, kpcn_iface):
+    """Frames violating the stride-64 grid (e.g. 1080 rows) are
+    replicate-padded and the output cropped back (the reference asserts
+    instead, datasets.py:1278)."""
+    rng2 = np.random.default_rng(11)
+    root = tmp_path / "oddsize"
+    (root / "test" / "gt").mkdir(parents=True)
+    (root / "test" / "input").mkdir(parents=True)
+    gt = synthetic_ground_truth(rng2, 136, 200)   # 136, 200 not on grid
+    raw, _ = synthetic_raw_sample(rng2, 136, 200, 2, gt=gt)
+    np.save(root / "test" / "gt" / "s.npy", gt)
+    np.save(root / "test" / "input" / "s.npy", raw)
+    offline_preprocess(str(root), mode="test", spp=2, test_spps=(2,))
+
+    ds = FullImageDataset(
+        os.path.join(str(root), "test", "input", "s.npy"), 2, "kpcn"
+    )
+    assert (ds.orig_h, ds.orig_w) == (136, 200)
+    assert (ds.h - 64) % 64 == 0 and (ds.w - 64) % 64 == 0
+    out_rad, _, _ = evaluate.inference(kpcn_iface, ds, batch_size=4)
+    assert out_rad.shape == (136, 200, 3)
+    assert np.isfinite(out_rad).all()
+
+
 def test_evaluate_frame_grid(eval_root, kpcn_iface):
     fn = os.path.join(eval_root, "test", "input", "scene0.npy")
     ds = FullImageDataset(fn, 4, "kpcn")

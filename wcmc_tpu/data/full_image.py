@@ -77,17 +77,40 @@ class FullImageDataset:
             h, w = sample["radiance"].shape[:2]
             self.full_ipt = sample["radiance"].mean(axis=2)
             self.full_tgt = sample["target_image"]
-        self.h, self.w = h, w
         self.has_hit = np.repeat(self.has_hit, 3, axis=-1)
+
+        # Auto-pad to the tile grid: the stride-64 decomposition needs
+        # (H - 2*pad) % stride == 0 (the reference asserts instead,
+        # datasets.py:1278, which rejects e.g. 1920x1080 frames).
+        # Replicate-pad on the bottom/right; evaluate.inference crops
+        # the canvas back to (orig_h, orig_w).
+        stride = PATCH_SIZE - 2 * PAD_SIZE
+        self.orig_h, self.orig_w = h, w
+
+        def _padded(n):
+            n_eff = max(n, PATCH_SIZE)
+            rem = (n_eff - 2 * PAD_SIZE) % stride
+            return n_eff + (stride - rem) % stride
+
+        ph, pw = _padded(h), _padded(w)
+        if (ph, pw) != (h, w):
+            def pad_hw(arr, h_axis):
+                pad = [(0, 0)] * arr.ndim
+                pad[h_axis] = (0, ph - h)
+                pad[h_axis + 1] = (0, pw - w)
+                return np.pad(arr, pad, mode="edge")
+
+            sample = {k: pad_hw(v, 0) for k, v in sample.items()}
+            self.full_ipt = pad_hw(self.full_ipt, 0)
+            self.full_tgt = pad_hw(self.full_tgt, 0)
+            self.has_hit = pad_hw(self.has_hit, 0)
+            h, w = ph, pw
+        self.h, self.w = h, w
 
         # model layout: sample-space -> (S, H, W, C)
         for k, v in sample.items():
             if v.ndim == 4:
                 sample[k] = np.transpose(v, (2, 0, 1, 3))
-
-        stride = PATCH_SIZE - 2 * PAD_SIZE
-        assert (h - 2 * PAD_SIZE) % stride == 0, (h, stride)
-        assert (w - 2 * PAD_SIZE) % stride == 0, (w, stride)
 
         self.samples, self.coords = [], []
         for i in range(0, h - 2 * PAD_SIZE, stride):

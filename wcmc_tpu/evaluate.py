@@ -114,6 +114,16 @@ def inference(interface, dataset: FullImageDataset, batch_size: int = 8):
                     out_path[:, i0:i1, j0:j1] = pb[
                         b, :, i0 - i:i1 - i, j0 - j:j1 - j
                     ]
+    # crop the assembled canvas back to the original frame (the dataset
+    # may have auto-padded to the tile grid)
+    oh = getattr(dataset, "orig_h", H)
+    ow = getattr(dataset, "orig_w", W)
+    out_rad = out_rad[:oh, :ow]
+    if out_path is not None:
+        if isinstance(out_path, dict):
+            out_path = {k: v[:, :oh, :ow] for k, v in out_path.items()}
+        else:
+            out_path = out_path[:, :oh, :ow]
     return out_rad, out_path, time.time() - t0
 
 
@@ -186,8 +196,10 @@ def denoise(
                     pb,
                 )
                 return {}
+            oh, ow = ds.orig_h, ds.orig_w
             res, res_in = evaluate_frame(
-                out_rad, ds.full_tgt, ds.full_ipt, ds.has_hit
+                out_rad, ds.full_tgt[:oh, :ow], ds.full_ipt[:oh, :ow],
+                ds.has_hit[:oh, :ow],
             )
             res["inference_sec"] = dt
             all_results[(scene, spp)] = {"output": res, "input": res_in}
