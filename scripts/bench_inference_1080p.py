@@ -1,0 +1,51 @@
+"""Headline inference benchmark: full-frame 1080p tiled KPCN denoising
+(BASELINE.json config 5)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+from wcmc_tpu import evaluate
+from wcmc_tpu.data.dataset import offline_preprocess
+from wcmc_tpu.data.full_image import FullImageDataset
+from wcmc_tpu.data.synthetic import synthetic_ground_truth, synthetic_raw_sample
+from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+
+H, W, SPP = 1080, 1920, 4
+ROOT = "/tmp/bench1080"
+
+
+def main():
+    t0 = time.time()
+    if not os.path.isfile(f"{ROOT}/test/input/s_kpcn_{SPP}.npy"):
+        os.makedirs(f"{ROOT}/test/gt", exist_ok=True)
+        os.makedirs(f"{ROOT}/test/input", exist_ok=True)
+        rng = np.random.default_rng(0)
+        gt = synthetic_ground_truth(rng, H, W)
+        raw, _ = synthetic_raw_sample(rng, H, W, SPP, gt=gt)
+        np.save(f"{ROOT}/test/gt/s.npy", gt)
+        np.save(f"{ROOT}/test/input/s.npy", raw)
+        del raw
+        offline_preprocess(ROOT, mode="test", spp=SPP, test_spps=(SPP,))
+    print(f"data ready in {time.time()-t0:.0f}s", flush=True)
+
+    iface = init_interfaces(
+        TrainConfig(base_model="kpcn", finite_check_every=10**9)
+    )[0]
+    ds = FullImageDataset(f"{ROOT}/test/input/s.npy", SPP, "kpcn")
+    print(f"frame {ds.orig_h}x{ds.orig_w} -> padded {ds.h}x{ds.w}, "
+          f"{len(ds)} tiles", flush=True)
+
+    # warm-up (compile)
+    out, _, dt = evaluate.inference(iface, ds, batch_size=8)
+    print(f"first pass (incl. compile): {dt:.1f}s", flush=True)
+    out, _, dt = evaluate.inference(iface, ds, batch_size=8)
+    mpix = ds.orig_h * ds.orig_w / 1e6
+    print(f"1080p tiled KPCN inference: {dt*1e3:.0f} ms "
+          f"-> {mpix/dt:.1f} MP/s/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()
