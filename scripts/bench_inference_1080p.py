@@ -1,7 +1,18 @@
 """Headline inference benchmark: full-frame 1080p tiled KPCN denoising
-(BASELINE.json config 5)."""
+(BASELINE.json config 5).
+
+Run with ``--prepare`` once (forces the CPU backend: shipping the 3.4 GB
+raw dump through the axon tunnel for preprocessing is slower than host
+compute), then without flags for the TPU timing run.
+"""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--prepare" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import time
 
@@ -30,6 +41,8 @@ def main():
         del raw
         offline_preprocess(ROOT, mode="test", spp=SPP, test_spps=(SPP,))
     print(f"data ready in {time.time()-t0:.0f}s", flush=True)
+    if "--prepare" in sys.argv:
+        return
 
     iface = init_interfaces(
         TrainConfig(base_model="kpcn", finite_check_every=10**9)

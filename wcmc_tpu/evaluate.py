@@ -65,8 +65,15 @@ def _replicate_pad(tile: np.ndarray, target: int) -> np.ndarray:
 def inference(interface, dataset: FullImageDataset, batch_size: int = 8):
     """Tiled full-frame inference with interior-crop assembly.
 
+    The tile stream is double-buffered (host collation + device upload
+    of batch N+1 overlap the device's work on batch N) and device
+    outputs are fetched asynchronously, so the device never idles on
+    host IO.
+
     Returns (out_rad (H, W, 3), out_path or None, elapsed_seconds).
     """
+    from wcmc_tpu.data.prefetch import DevicePrefetcher
+
     interface.to_eval_mode()
     H, W = dataset.h, dataset.w
     out_rad = np.zeros((H, W, 3), np.float32)
@@ -75,15 +82,28 @@ def inference(interface, dataset: FullImageDataset, batch_size: int = 8):
     t0 = time.time()
 
     n = len(dataset)
-    for start in range(0, n, batch_size):
+
+    def batches():
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            tiles = [dataset[i][0] for i in idxs]
+            yield {
+                k: np.stack([t[k] for t in tiles], axis=0) for k in tiles[0]
+            }
+
+    # dispatch everything, then assemble: device work pipelines while
+    # the host collates/paints
+    pending = []
+    for start, batch in zip(
+        range(0, n, batch_size), DevicePrefetcher(batches(), depth=2)
+    ):
         idxs = list(range(start, min(start + batch_size, n)))
-        tiles = [dataset[i][0] for i in idxs]
+        out_dev, p_dev = interface.validate_batch(batch)[:2]
+        pending.append((idxs, out_dev, p_dev))
+
+    for idxs, out_dev, p_buffers in pending:
         coords = [dataset[i][1] for i in idxs]
-        batch = {
-            k: np.stack([t[k] for t in tiles], axis=0) for k in tiles[0]
-        }
-        out, p_buffers = interface.validate_batch(batch)
-        out = np.asarray(out)
+        out = np.asarray(out_dev)
         out = _replicate_pad(out, PATCH_SIZE)
 
         if use_paths and out_path is None:
