@@ -184,3 +184,95 @@ def test_pallas_outer_interpret_matches_xla(rng, kernel_h):
         )
     finally:
         pk.INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# Mosaic block-shape legality (static): the real-TPU lowering requires
+# the last two block dims to be (multiple of 8, multiple of 128) or
+# equal to the array dims. Round 1 shipped a tile-height regression
+# (49-row scatter tiles at the 72x72 K21 model shape) that interpret-
+# mode tests could not catch; this sweep pins the constraint for every
+# model geometry (128-patch train crops, 72-px eval tiles, K in
+# {5, 13, 21}) plus degenerate small shapes.
+# ---------------------------------------------------------------------------
+
+MODEL_GEOMETRIES = [
+    # (h, w, ksize): kernel-output geometry (B, h, w, K^2) weight tensors
+    (108, 108, 21),   # 128-px train patch, KPCN K=21
+    (72, 72, 21),     # eval tile (pad 32 / stride 64), K=21
+    (116, 116, 13),   # 128-px patch, LBMC K=13
+    (124, 124, 5),    # 128-px patch, K=5
+    (48, 48, 21),
+    (8, 40, 21),
+    (5, 40, 3),       # h < 8: tile must fall back to h itself
+    (1, 16, 3),
+]
+
+
+def _mosaic_legal(block, dim):
+    return block % 8 == 0 or block == dim
+
+
+@pytest.mark.parametrize("h,w,k", MODEL_GEOMETRIES)
+def test_scatter_tile_rows_mosaic_legal(h, w, k):
+    th = pk._scatter_tile_rows(h, w, k)
+    assert 1 <= th <= max(h, 8)
+    assert _mosaic_legal(th, h), (
+        f"scatter tile {th} for h={h} w={w} k={k} violates Mosaic"
+    )
+
+
+@pytest.mark.parametrize("h,w,k", MODEL_GEOMETRIES)
+def test_gather_tile_rows_mosaic_legal(h, w, k):
+    th = pk._tile_rows(h)
+    assert _mosaic_legal(th, h), (
+        f"gather/outer tile {th} for h={h} violates Mosaic"
+    )
+
+
+def test_scatter_tile_rows_regression():
+    # Round-1 failure shapes. 72x72 K21: the old weights-only budget
+    # yielded 49 rows (not a multiple of 8 -> Mosaic reject). 108x108
+    # K21: rounding alone gave 32 rows, which double-buffers to
+    # 16.41 MiB scoped VMEM (> the 16 MiB v5e budget). The full
+    # three-block model yields 24 for both.
+    assert pk._scatter_tile_rows(72, 72, 21, 3) == 24
+    assert pk._scatter_tile_rows(108, 108, 21, 3) == 24
+
+
+def test_scatter_vmem_within_budget():
+    # Double-buffered block footprint (lane dim padded to 128) must
+    # leave slack under the 16 MiB v5e VMEM for every model geometry.
+    for h, w, k in MODEL_GEOMETRIES:
+        c = 3
+        th = pk._scatter_tile_rows(h, w, k, c)
+        lanes_in = pk._lane_pad(w)
+        lanes_out = pk._lane_pad(w + k - 1)
+        per_set = 4 * th * (lanes_in * (c + k * k) + lanes_out * k * c)
+        assert 2 * per_set <= 14 * 1024 * 1024 or th == min(h, 8), (
+            f"scatter tile {th} for h={h} w={w} k={k}: "
+            f"{2 * per_set / 2**20:.1f} MiB double-buffered"
+        )
+
+
+def test_scatter_partial_final_tile_interpret():
+    # h=28 with th=24 leaves a partial 4-row final tile; the row pass
+    # is per-row aligned so masked overflow writes must not corrupt it.
+    pk.INTERPRET = True
+    try:
+        rng = np.random.default_rng(3)
+        b, c, k = 1, 3, 21
+        h, w = 28, 40
+        th = pk._scatter_tile_rows(h, w, k, c)
+        assert h % th != 0, "shape no longer exercises a partial tile"
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        wt = jnp.asarray(
+            rng.standard_normal((b, h, w, k * k)).astype(np.float32)
+        )
+        out_p = pk.scatter_tpu(x, wt, k)
+        out_x = ka._scatter_xla(x, wt, k)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        pk.INTERPRET = False

@@ -36,14 +36,31 @@ def _tile_rows(h: int) -> int:
     return min(_DEF_TILE_ROWS, h)
 
 
-def _scatter_tile_rows(h: int, w: int, ksize: int) -> int:
-    """Scatter throughput rises with tile height (microbenched at model
-    shapes: th=8 -> 0.64 ms, th=24 -> 0.45 ms, th=72 -> 0.26 ms for
-    72x72xK21); pick the largest tile whose weight block stays within
-    ~6 MB of VMEM so Pallas can still double-buffer."""
+def _lane_pad(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _scatter_tile_rows(h: int, w: int, ksize: int, c: int = 3) -> int:
+    """Scatter throughput rises with tile height (larger tiles amortize
+    grid overhead), bounded by VMEM: Pallas double-buffers EVERY block
+    (x, w, and the K-strip output), and the lane (last) dim of each
+    block is physically padded to a multiple of 128. v5e has 16 MiB of
+    VMEM; budget 6 MiB per buffer set (x2 for double buffering = 12 MiB,
+    leaving ~4 MiB of stack/scratch slack — round 1's 6 MiB-of-weights-
+    only budget OOMed at 16.41 MiB scoped for the 108x108 K21 shape).
+
+    Mosaic also requires the second-to-last block dim to be a multiple
+    of 8 or equal to the array dim, so the tile is rounded DOWN to a
+    multiple of 8 (floor 8) and clamped to h. A partial final tile
+    (h % th != 0) is fine: the row pass is per-row aligned, so garbage
+    reads past h only produce writes past h, which Pallas masks.
+    """
+    lanes_in = _lane_pad(w)
+    lanes_out = _lane_pad(w + ksize - 1)
+    per_row = 4 * (lanes_in * (c + ksize * ksize) + lanes_out * ksize * c)
     budget = 6 * 1024 * 1024
-    th = budget // (ksize * ksize * w * 4)
-    return max(8, min(h, int(th)))
+    th = budget // per_row
+    return min(h, max(8, (int(th) // 8) * 8))
 
 
 def _to_cmajor(x):
@@ -149,7 +166,10 @@ def scatter_tpu(x, w, ksize):
     """x (B,h,w,C), w (B,h,w,K^2) -> (B,H,W,C); H = h+K-1."""
     b, h, iw, c = x.shape
     H, W = h + ksize - 1, iw + ksize - 1
-    th = _scatter_tile_rows(h, iw, ksize)
+    th = _scatter_tile_rows(h, iw, ksize, c)
+    assert th % 8 == 0 or th == h, (
+        f"Mosaic-illegal scatter tile {th} for h={h}"
+    )
     x_t = _to_cmajor(x).astype(jnp.float32)
     w_t = _to_cmajor(w).astype(jnp.float32)
 
