@@ -86,3 +86,15 @@ def test_set_learning_rate():
     iface = init_interfaces(cfg)[0]
     set_learning_rate(iface.states["dncnn"].opt_state, 3e-4)
     assert abs(get_learning_rate(iface.states["dncnn"].opt_state) - 3e-4) < 1e-9
+
+
+def test_set_learning_rate_raises_without_hyperparams():
+    """A chain without inject_hyperparams must fail loudly, not no-op
+    (a silent miss would disable LBMC's StepLR)."""
+    import optax
+    import pytest as _pytest
+
+    tx = optax.adam(1e-4)
+    opt_state = tx.init({"w": np.zeros((3,), np.float32)})
+    with _pytest.raises(ValueError, match="learning_rate"):
+        set_learning_rate(opt_state, 1e-5)

@@ -119,3 +119,49 @@ def test_denoise_sweep_writes_csv(eval_root, kpcn_iface, tmp_path):
     # random-init net this may not hold; just require finite values
     for v in results.values():
         assert np.isfinite(v["output"]["linear_RelMSE"])
+
+
+def test_inference_bounds_in_flight_window(tmp_path, kpcn_iface):
+    """Pending device outputs must not accumulate for the whole frame
+    (unbounded device memory at high spp): peak in-flight batches is
+    the fixed window, not n_batches."""
+    rng2 = np.random.default_rng(13)
+    root = tmp_path / "bigframe"
+    (root / "test" / "gt").mkdir(parents=True)
+    (root / "test" / "input").mkdir(parents=True)
+    gt = synthetic_ground_truth(rng2, 256, 256)   # 3x3 = 9 tiles
+    raw, _ = synthetic_raw_sample(rng2, 256, 256, 2, gt=gt)
+    np.save(root / "test" / "gt" / "s.npy", gt)
+    np.save(root / "test" / "input" / "s.npy", raw)
+    offline_preprocess(str(root), mode="test", spp=2, test_spps=(2,))
+    fn = os.path.join(str(root), "test", "input", "s.npy")
+    ds = FullImageDataset(fn, 2, "kpcn")
+    assert len(ds) >= 8, "fixture frame too small to exercise the window"
+
+    events = []
+    real_validate = kpcn_iface.validate_batch
+    real_pad = evaluate._replicate_pad
+
+    def tracked_validate(batch):
+        events.append("dispatch")
+        return real_validate(batch)
+
+    def tracked_pad(x, p):
+        events.append("assemble")
+        return real_pad(x, p)
+
+    kpcn_iface.validate_batch = tracked_validate
+    evaluate._replicate_pad = tracked_pad
+    try:
+        evaluate.inference(kpcn_iface, ds, batch_size=1)
+    finally:
+        kpcn_iface.validate_batch = real_validate
+        evaluate._replicate_pad = real_pad
+
+    in_flight = peak = 0
+    for e in events:
+        in_flight += 1 if e == "dispatch" else -1
+        peak = max(peak, in_flight)
+    n_batches = events.count("dispatch")
+    assert n_batches == len(ds)
+    assert peak <= 4, f"peak in-flight {peak} (of {n_batches} batches)"

@@ -167,3 +167,30 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_to_mesh_val_does_not_jit_per_call(rng, monkeypatch):
+    """Steady-state DP validation must reuse one jitted callable; a
+    fresh jax.jit wrapper per validate_batch call means a retrace
+    every time."""
+    import jax
+
+    cfg = _cfg()
+    iface = init_interfaces(cfg)[0]
+    iface.to_mesh(make_mesh(n_data=4))
+    batch = synthetic_batch(rng, "kpcn", batch_size=4, patch=48, spp=2)
+    iface.preprocess(batch)
+    iface.to_eval_mode()
+    iface.validate_batch(batch)  # warm: trace once here
+
+    calls = {"n": 0}
+    real_jit = jax.jit
+
+    def counting_jit(*a, **k):
+        calls["n"] += 1
+        return real_jit(*a, **k)
+
+    monkeypatch.setattr(jax, "jit", counting_jit)
+    iface.validate_batch(batch)
+    iface.validate_batch(batch)
+    assert calls["n"] == 0, "validate_batch created jit wrappers per call"

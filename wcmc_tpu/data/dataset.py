@@ -337,7 +337,8 @@ class DenoiseDataset:
             sample["target_total"] = total
         return sample, in_fn
 
-    def _sample_coords(self, shape, prob: np.ndarray | None):
+    def _sample_coords(self, shape, prob: np.ndarray | None,
+                       prob_key: str | None = None):
         h, w = shape
         n = self.patches_per_image
         if self.sampling == "grid":
@@ -349,14 +350,19 @@ class DenoiseDataset:
             return (coords * (n // len(coords) + 1))[:n]
         if prob is not None:
             # O(1)-per-draw alias sampling (C++ when built; the
-            # reference's np.random.choice is O(n) per draw)
+            # reference's np.random.choice is O(n) per draw). Cache the
+            # O(n) alias-table build keyed by the cache FILENAME — the
+            # array itself is freshly np.load-ed per _cut_patches call,
+            # so id(prob) would never hit on an image revisit.
             from wcmc_tpu.data.native_loader import AliasSampler
 
             ph, pw = prob.shape
-            sampler = self._alias_samplers.get(id(prob))
+            sampler = self._alias_samplers.get(prob_key)
             if sampler is None:
                 sampler = AliasSampler(prob)
-                self._alias_samplers = {id(prob): sampler}
+                if len(self._alias_samplers) >= 256:  # bound host memory
+                    self._alias_samplers.clear()
+                self._alias_samplers[prob_key] = sampler
             idx = sampler.sample(n, int(self._rng.integers(0, 2**63)))
             return [(int(i) // pw, int(i) % pw) for i in idx]
         xs = self._rng.integers(0, h - PATCH_SIZE + 1, n)
@@ -368,11 +374,12 @@ class DenoiseDataset:
         any_key = next(iter(sample))
         h, w = sample[any_key].shape[:2]
         prob = None
+        prob_fn = None
         if self.sampling == "random":
             prob_fn = _cache_name(in_fn, "prob_imp")
             if os.path.isfile(prob_fn):
                 prob = np.load(prob_fn)
-        coords = self._sample_coords((h, w), prob)
+        coords = self._sample_coords((h, w), prob, prob_key=prob_fn)
         # threaded C++ gather with the sample-axis transpose fused
         # (numpy fallback inside when the native lib isn't built)
         from wcmc_tpu.data.native_loader import extract_patches

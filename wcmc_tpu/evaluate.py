@@ -91,17 +91,8 @@ def inference(interface, dataset: FullImageDataset, batch_size: int = 8):
                 k: np.stack([t[k] for t in tiles], axis=0) for k in tiles[0]
             }
 
-    # dispatch everything, then assemble: device work pipelines while
-    # the host collates/paints
-    pending = []
-    for start, batch in zip(
-        range(0, n, batch_size), DevicePrefetcher(batches(), depth=2)
-    ):
-        idxs = list(range(start, min(start + batch_size, n)))
-        out_dev, p_dev = interface.validate_batch(batch)[:2]
-        pending.append((idxs, out_dev, p_dev))
-
-    for idxs, out_dev, p_buffers in pending:
+    def assemble(idxs, out_dev, p_buffers):
+        nonlocal out_path
         coords = [dataset[i][1] for i in idxs]
         out = np.asarray(out_dev)
         out = _replicate_pad(out, PATCH_SIZE)
@@ -134,6 +125,25 @@ def inference(interface, dataset: FullImageDataset, batch_size: int = 8):
                     out_path[:, i0:i1, j0:j1] = pb[
                         b, :, i0 - i:i1 - i, j0 - j:j1 - j
                     ]
+
+    # Dispatch ahead of assembly, but bound the in-flight window: each
+    # pending entry holds device outputs (incl. per-sample p-buffers),
+    # so an unbounded list would scale device memory with frame size at
+    # high spp. A window of 3 keeps the device busy while the host
+    # paints batch N-3.
+    max_in_flight = 3
+    pending: list = []
+    for start, batch in zip(
+        range(0, n, batch_size), DevicePrefetcher(batches(), depth=2)
+    ):
+        idxs = list(range(start, min(start + batch_size, n)))
+        out_dev, p_dev = interface.validate_batch(batch)[:2]
+        pending.append((idxs, out_dev, p_dev))
+        if len(pending) > max_in_flight:
+            assemble(*pending.pop(0))
+
+    for entry in pending:
+        assemble(*entry)
     # crop the assembled canvas back to the original frame (the dataset
     # may have auto-padded to the tile grid)
     oh = getattr(dataset, "orig_h", H)

@@ -231,7 +231,9 @@ class BaseInterface(abc.ABC):
         self._mesh = mesh
         self.states = replicate(self.states, mesh)
         dp_step = data_parallel_step(self._make_train_step(), mesh)
-        raw_val = self._make_val_step()
+        # jit once here — wrapping inside val_step would create a fresh
+        # jit wrapper (and a retrace) per validate_batch call.
+        jitted_val = jax.jit(self._make_val_step())
 
         def train_step(states, batch, key):
             with mesh:
@@ -239,7 +241,7 @@ class BaseInterface(abc.ABC):
 
         def val_step(states, batch):
             with mesh:
-                return jax.jit(raw_val)(states, shard_batch(batch, mesh))
+                return jitted_val(states, shard_batch(batch, mesh))
 
         self._train_step = train_step
         self._val_step = val_step

@@ -48,16 +48,25 @@ def adam_with_clip(lr, clip_value: float | None = None,
 
 
 def set_learning_rate(opt_state, lr):
-    """Update the injected learning rate inside an optimizer state tree."""
-    def _set(s):
-        if isinstance(s, optax.InjectStatefulHyperparamsState) or hasattr(
-            s, "hyperparams"
-        ):
-            s.hyperparams["learning_rate"] = jnp.asarray(lr)
-        return s
+    """Update the injected learning rate inside an optimizer state tree.
 
+    Raises if no ``inject_hyperparams`` node holds a ``learning_rate``
+    — a silent no-op here would quietly disable epoch schedulers
+    (e.g. LBMC's StepLR) if the optax chain layout ever drifts.
+    """
+    hits = 0
     for sub in opt_state:
-        _set(sub)
+        if (
+            isinstance(sub, optax.InjectStatefulHyperparamsState)
+            or hasattr(sub, "hyperparams")
+        ) and "learning_rate" in sub.hyperparams:
+            sub.hyperparams["learning_rate"] = jnp.asarray(lr)
+            hits += 1
+    if hits == 0:
+        raise ValueError(
+            "set_learning_rate found no learning_rate hyperparameter in "
+            f"the optimizer state chain ({[type(s).__name__ for s in opt_state]})"
+        )
     return opt_state
 
 
