@@ -79,6 +79,45 @@ def main():
         all_ok &= check("vjp dbuf", db, db_r)
         all_ok &= check("vjp dw ", dw, dw_r)
 
+    # fused per-pixel MLP at the PathNet bench geometry (N = B*S*H*W)
+    mf = importlib.import_module("wcmc_tpu.ops.mlp_fused")
+    for n, dims, acts, cdx in [
+        (64 * 128 * 128, (36, 64, 64, 64), ("relu", "relu", "linear"), False),
+        (64 * 128 * 128, (128, 128, 3), ("relu", "relu"), True),
+        (1000, (36, 64, 64, 64), ("relu", "relu", "linear"), True),  # ragged
+    ]:
+        print(f"mlp n={n} dims={dims}", flush=True)
+        ws = [jnp.asarray(rng.standard_normal((a, b)).astype(np.float32)) * 0.3
+              for a, b in zip(dims[:-1], dims[1:])]
+        bs = [jnp.asarray(rng.standard_normal((b,)).astype(np.float32)) * 0.1
+              for b in dims[1:]]
+        x = jnp.asarray(
+            rng.standard_normal((n, dims[0])).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def loss(x_, ws_, bs_):
+            return jnp.sum(jnp.sin(mf.fused_mlp(x_, ws_, bs_, acts, cdx)))
+
+        y = jax.jit(lambda *a: mf.fused_mlp(*a, acts, cdx))(x, ws, bs)
+        grads = jax.jit(jax.grad(loss, argnums=(1, 2)))(x, ws, bs)
+        mf_flag = mf.FORCE_PALLAS
+        ka_flag = ka._FORCE_XLA
+        ka._FORCE_XLA = True
+        try:
+            y_r = jax.jit(lambda *a: mf.fused_mlp(*a, acts, cdx))(x, ws, bs)
+            grads_r = jax.jit(jax.grad(loss, argnums=(1, 2)))(x, ws, bs)
+        finally:
+            ka._FORCE_XLA = ka_flag
+            mf.FORCE_PALLAS = mf_flag
+        all_ok &= check("mlp fwd", y.astype(jnp.float32),
+                        y_r.astype(jnp.float32), atol=2e-2)
+        for g, r, nm in zip(
+            jax.tree_util.tree_leaves(grads),
+            jax.tree_util.tree_leaves(grads_r),
+            ["dw/db"] * 99,
+        ):
+            all_ok &= check(f"mlp {nm}", g, r, atol=2e-2)
+
     print("SMOKE " + ("PASS" if all_ok else "FAIL"), flush=True)
     sys.exit(0 if all_ok else 1)
 

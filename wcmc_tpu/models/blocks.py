@@ -61,6 +61,42 @@ class ConvChain(nn.Module):
         return 0 if pad else depth * (ksize - 1)
 
 
+class PixelMLP(nn.Module):
+    """Per-pixel MLP — a ``ConvChain(ksize=1)`` computed by the fused
+    Pallas chain (ops/mlp_fused.py) so hidden activations never touch
+    HBM. Same math and init as the unfused chain (lecun_normal /
+    zero-bias, matching nn.Conv defaults); params stay f32 and the
+    chain computes in ``dtype``.
+
+    ``compute_dx`` should be False when the input is data (no gradient
+    consumer), which skips the dx write in the backward kernel.
+    """
+
+    features: Sequence[int]
+    acts: Sequence[str]
+    compute_dx: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from wcmc_tpu.ops.mlp_fused import fused_mlp
+
+        cin = x.shape[-1]
+        ws, bs = [], []
+        for i, f in enumerate(self.features):
+            ws.append(self.param(
+                f"w{i}", nn.initializers.lecun_normal(), (cin, f)
+            ))
+            bs.append(self.param(f"b{i}", nn.initializers.zeros, (f,)))
+            cin = f
+        shape = x.shape
+        flat = x.reshape(-1, shape[-1])
+        if self.dtype is not None:
+            flat = flat.astype(self.dtype)
+        y = fused_mlp(flat, ws, bs, tuple(self.acts), self.compute_dx)
+        return y.reshape(shape[:-1] + (self.features[-1],))
+
+
 class UNet(nn.Module):
     """Symmetric encoder/decoder ("Autoencoder" in the reference's
     upstream naming) with max-pool downsampling, nearest upsampling and

@@ -1,0 +1,526 @@
+"""PathNet-shaped fused Pallas kernels: embedding (+ fused sample-mean)
+and head (+ broadcast context, no materialized concat).
+
+These specialize ops/mlp_fused.py to PathNet's dataflow (reference
+support/networks.py:29-42):
+
+  e    = MLP_embed(paths)                  # per (sample, pixel) row
+  ctx  = UNet(mean_S(e))                   # stays in XLA (spatial 3x3)
+  out  = MLP_head(concat(e, broadcast_S(ctx)))
+
+As plain XLA + generic fused MLPs, three glue tensors round-trip HBM
+per branch: the f32 convert feeding the mean, the (B*S*HW, 128) concat,
+and its backward slice/add. The kernels here absorb all three:
+
+* ``pathnet_embed``: one pass over paths; writes the bf16 embedding AND
+  its f32 sample-mean (accumulated across the S grid axis in VMEM).
+* ``pathnet_head``: reads e and the (B, HW, C) context with a
+  broadcast index map (the context block is fetched once per row-tile
+  and reused across all S samples); layer 1 computes
+  e @ W1[:C] + ctx @ W1[C:] so the concat never exists. Emits f32.
+
+Backward passes recompute hiddens from inputs (rematerialization) and
+accumulate dW/db (and d(ctx), which sums over S) in f32 across the
+sequential grid. Gradients w.r.t. paths are not computed (paths are
+data).
+
+Grid order is (B, row-tiles, S) — S innermost — so accumulator blocks
+(mean, dctx) are revisited on adjacent grid steps, which is what makes
+the in-VMEM accumulation legal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wcmc_tpu.ops import pallas_kernels as _pk
+from wcmc_tpu.ops.mlp_fused import _act, _act_grad, _mlp_xla
+
+_EMBED_TILE = 4096
+_HEAD_TILE = 2048
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda b, t, s: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _pad_rows(x, rows):
+    """Pad axis -2 (rows within an image) up to ``rows``."""
+    if x.shape[-2] == rows:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, rows - x.shape[-2])
+    return jnp.pad(x, pad)
+
+
+# ---------------------------------------------------------------------------
+# embedding (+ sample mean)
+# ---------------------------------------------------------------------------
+
+def _embed_fwd_kernel(x_ref, *refs, acts, n_samples):
+    n_layers = len(acts)
+    e_ref, mean_ref = refs[-2], refs[-1]
+    h = x_ref[0, 0]
+    for i in range(n_layers):
+        w, b = refs[2 * i][...], refs[2 * i + 1][...]
+        h = _act(acts[i], jnp.dot(
+            h, w, preferred_element_type=jnp.float32) + b
+        ).astype(x_ref.dtype)
+    e_ref[0, 0] = h
+    si = pl.program_id(2)
+    contrib = h.astype(jnp.float32) * (1.0 / n_samples)
+
+    @pl.when(si == 0)
+    def _init():
+        mean_ref[0] = contrib
+
+    @pl.when(si != 0)
+    def _acc():
+        mean_ref[0] += contrib
+
+
+def _embed_bwd_kernel(x_ref, ge_ref, gm_ref, *refs, acts, n_samples):
+    n_layers = len(acts)
+    w_refs = [refs[2 * i] for i in range(n_layers)]
+    b_refs = [refs[2 * i + 1] for i in range(n_layers)]
+    outs = refs[2 * n_layers:]
+    dw_refs = [outs[2 * i] for i in range(n_layers)]
+    db_refs = [outs[2 * i + 1] for i in range(n_layers)]
+    first = jnp.logical_and(
+        pl.program_id(0) == 0,
+        jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0),
+    )
+
+    hs = [x_ref[0, 0]]
+    for i in range(n_layers):
+        z = jnp.dot(
+            hs[-1], w_refs[i][...], preferred_element_type=jnp.float32
+        ) + b_refs[i][...]
+        hs.append(_act(acts[i], z).astype(x_ref.dtype))
+
+    # d(e) plus the mean path: mean = sum_s e / S
+    g = ge_ref[0, 0].astype(jnp.float32) + gm_ref[0] * (1.0 / n_samples)
+    for i in reversed(range(n_layers)):
+        gz = _act_grad(acts[i], hs[i + 1], g)
+        gz_c = gz.astype(x_ref.dtype)
+        dw = jax.lax.dot_general(
+            hs[i], gz_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db = jnp.sum(gz, axis=0, keepdims=True)
+
+        @pl.when(first)
+        def _init(i=i, dw=dw, db=db):
+            dw_refs[i][...] = dw
+            db_refs[i][...] = db
+
+        @pl.when(jnp.logical_not(first))
+        def _acc(i=i, dw=dw, db=db):
+            dw_refs[i][...] += dw
+            db_refs[i][...] += db
+
+        if i > 0:
+            g = jax.lax.dot_general(
+                gz_c, w_refs[i][...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def _embed_geometry(x):
+    b, s, hw, c0 = x.shape
+    tr = min(_EMBED_TILE, max(8, hw))
+    n_tiles = pl.cdiv(hw, tr)
+    return b, s, hw, c0, tr, n_tiles, n_tiles * tr
+
+
+def _embed_fwd_pallas(x, ws, bs, acts):
+    b, s, hw, c0, tr, n_tiles, hwp = _embed_geometry(x)
+    xp = _pad_rows(x, hwp)
+    wcast = [w.astype(x.dtype) for w in ws]
+    bcast = [bb.reshape(1, -1).astype(jnp.float32) for bb in bs]
+    c_out = ws[-1].shape[1]
+
+    in_specs = [pl.BlockSpec((1, 1, tr, c0),
+                             lambda bi, ti, si: (bi, si, ti, 0),
+                             memory_space=pltpu.VMEM)]
+    for w, bb in zip(wcast, bcast):
+        in_specs += [_full(w.shape), _full(bb.shape)]
+
+    e, mean = pl.pallas_call(
+        functools.partial(_embed_fwd_kernel, acts=acts, n_samples=s),
+        grid=(b, n_tiles, s),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, tr, c_out),
+                         lambda bi, ti, si: (bi, si, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, c_out), lambda bi, ti, si: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, hwp, c_out), x.dtype),
+            jax.ShapeDtypeStruct((b, hwp, c_out), jnp.float32),
+        ],
+        interpret=_pk.INTERPRET,
+    )(xp, *[t for pair in zip(wcast, bcast) for t in pair])
+    return e[:, :, :hw], mean[:, :hw]
+
+
+def _embed_bwd_pallas(x, ge, gmean, ws, bs, acts):
+    b, s, hw, c0, tr, n_tiles, hwp = _embed_geometry(x)
+    xp = _pad_rows(x, hwp)
+    gep = _pad_rows(ge.astype(x.dtype), hwp)
+    gmp = _pad_rows(gmean.astype(jnp.float32), hwp)
+    wcast = [w.astype(x.dtype) for w in ws]
+    bcast = [bb.reshape(1, -1).astype(jnp.float32) for bb in bs]
+    c_out = ws[-1].shape[1]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tr, c0), lambda bi, ti, si: (bi, si, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tr, c_out), lambda bi, ti, si: (bi, si, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tr, c_out), lambda bi, ti, si: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for w, bb in zip(wcast, bcast):
+        in_specs += [_full(w.shape), _full(bb.shape)]
+
+    out_specs, out_shapes = [], []
+    for w, bb in zip(ws, bs):
+        out_specs += [_full(w.shape), _full((1, bb.shape[-1]))]
+        out_shapes += [
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, bb.shape[-1]), jnp.float32),
+        ]
+
+    outs = pl.pallas_call(
+        functools.partial(_embed_bwd_kernel, acts=acts, n_samples=s),
+        grid=(b, n_tiles, s),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_pk.INTERPRET,
+    )(xp, gep, gmp, *[t for pair in zip(wcast, bcast) for t in pair])
+    dws = [outs[2 * i] for i in range(len(ws))]
+    dbs = [outs[2 * i + 1].reshape(bs[i].shape) for i in range(len(ws))]
+    return dws, dbs
+
+
+def _embed_xla(x, ws, bs, acts):
+    b, s, hw, c0 = x.shape
+    e = _mlp_xla(x.reshape(-1, c0), list(ws), list(bs), acts)
+    e = e.reshape(b, s, hw, ws[-1].shape[1])
+    return e, jnp.mean(e.astype(jnp.float32), axis=1)
+
+
+def _on_tpu():
+    import importlib
+
+    if importlib.import_module("wcmc_tpu.ops.mlp_fused").FORCE_PALLAS:
+        return True
+    return importlib.import_module("wcmc_tpu.ops.kernel_apply")._on_tpu()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pathnet_embed(x, ws, bs, acts):
+    """(B, S, HW, C0) paths -> (e (B,S,HW,Cout) in x.dtype,
+    mean_S(e) (B,HW,Cout) f32). No gradient w.r.t. x (paths are data)."""
+    if _on_tpu():
+        return _embed_fwd_pallas(x, list(ws), list(bs), tuple(acts))
+    return _embed_xla(x, ws, bs, tuple(acts))
+
+
+def _pe_fwd(x, ws, bs, acts):
+    return pathnet_embed(x, ws, bs, acts), (x, list(ws), list(bs))
+
+
+def _pe_bwd(acts, res, gs):
+    x, ws, bs = res
+    ge, gmean = gs
+    if _on_tpu():
+        dws, dbs = _embed_bwd_pallas(x, ge, gmean, ws, bs, tuple(acts))
+    else:
+        def f(ws_, bs_):
+            return _embed_xla(x, ws_, bs_, tuple(acts))
+
+        _, vjp = jax.vjp(f, ws, bs)
+        dws, dbs = vjp((ge, gmean))
+    return jnp.zeros_like(x), dws, dbs
+
+
+pathnet_embed.defvjp(_pe_fwd, _pe_bwd)
+
+
+# ---------------------------------------------------------------------------
+# head (broadcast context, fused concat)
+# ---------------------------------------------------------------------------
+
+def _head_fwd_kernel(e_ref, ctx_ref, w1e_ref, w1c_ref, b1_ref, *refs,
+                     acts):
+    out_ref = refs[-1]
+    rest = refs[:-1]
+    z = jnp.dot(e_ref[0, 0], w1e_ref[...],
+                preferred_element_type=jnp.float32)
+    z += jnp.dot(ctx_ref[0], w1c_ref[...],
+                 preferred_element_type=jnp.float32)
+    h_f32 = _act(acts[0], z + b1_ref[...])
+    h = h_f32.astype(e_ref.dtype)
+    for i in range(len(acts) - 1):
+        w, b = rest[2 * i][...], rest[2 * i + 1][...]
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h_f32 = _act(acts[i + 1], z)
+        h = h_f32.astype(e_ref.dtype)
+    out_ref[0, 0] = h_f32.astype(out_ref.dtype)
+
+
+def _head_bwd_kernel(e_ref, ctx_ref, g_ref, w1e_ref, w1c_ref, b1_ref,
+                     *refs, acts):
+    n_rest = len(acts) - 1
+    w_refs = [refs[2 * i] for i in range(n_rest)]
+    b_refs = [refs[2 * i + 1] for i in range(n_rest)]
+    outs = refs[2 * n_rest:]
+    (de_ref, dctx_ref, dw1e_ref, dw1c_ref, db1_ref) = outs[:5]
+    dw_refs = [outs[5 + 2 * i] for i in range(n_rest)]
+    db_refs = [outs[5 + 2 * i + 1] for i in range(n_rest)]
+
+    si = pl.program_id(2)
+    first = jnp.logical_and(
+        pl.program_id(0) == 0, jnp.logical_and(pl.program_id(1) == 0,
+                                               si == 0),
+    )
+
+    e = e_ref[0, 0]
+    ctx = ctx_ref[0].astype(e.dtype)
+    z1 = jnp.dot(e, w1e_ref[...], preferred_element_type=jnp.float32)
+    z1 += jnp.dot(ctx, w1c_ref[...], preferred_element_type=jnp.float32)
+    hs = [_act(acts[0], z1 + b1_ref[...]).astype(e.dtype)]
+    for i in range(n_rest):
+        z = jnp.dot(hs[-1], w_refs[i][...],
+                    preferred_element_type=jnp.float32) + b_refs[i][...]
+        hs.append(_act(acts[i + 1], z).astype(e.dtype))
+
+    g = g_ref[0, 0].astype(jnp.float32)
+    for i in reversed(range(n_rest)):
+        gz = _act_grad(acts[i + 1], hs[i + 1], g)
+        gz_c = gz.astype(e.dtype)
+        dw = jax.lax.dot_general(
+            hs[i], gz_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db = jnp.sum(gz, axis=0, keepdims=True)
+
+        @pl.when(first)
+        def _i(i=i, dw=dw, db=db):
+            dw_refs[i][...] = dw
+            db_refs[i][...] = db
+
+        @pl.when(jnp.logical_not(first))
+        def _a(i=i, dw=dw, db=db):
+            dw_refs[i][...] += dw
+            db_refs[i][...] += db
+
+        g = jax.lax.dot_general(
+            gz_c, w_refs[i][...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    g1 = _act_grad(acts[0], hs[0], g)
+    g1_c = g1.astype(e.dtype)
+    dw1e = jax.lax.dot_general(e, g1_c, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dw1c = jax.lax.dot_general(ctx, g1_c, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    db1 = jnp.sum(g1, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _i1():
+        dw1e_ref[...] = dw1e
+        dw1c_ref[...] = dw1c
+        db1_ref[...] = db1
+
+    @pl.when(jnp.logical_not(first))
+    def _a1():
+        dw1e_ref[...] += dw1e
+        dw1c_ref[...] += dw1c
+        db1_ref[...] += db1
+
+    de_ref[0, 0] = jax.lax.dot_general(
+        g1_c, w1e_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(de_ref.dtype)
+
+    dctx = jax.lax.dot_general(
+        g1_c, w1c_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(si == 0)
+    def _ic():
+        dctx_ref[0] = dctx
+
+    @pl.when(si != 0)
+    def _ac():
+        dctx_ref[0] += dctx
+
+
+def _head_geometry(e):
+    b, s, hw, ce = e.shape
+    tr = min(_HEAD_TILE, max(8, hw))
+    n_tiles = pl.cdiv(hw, tr)
+    return b, s, hw, ce, tr, n_tiles, n_tiles * tr
+
+
+def _head_split_w1(ws, ce):
+    w1 = ws[0]
+    return w1[:ce], w1[ce:]
+
+
+def _head_fwd_pallas(e, ctx, ws, bs, acts):
+    b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
+    ep = _pad_rows(e, hwp)
+    ctxp = _pad_rows(ctx, hwp).astype(e.dtype)
+    w1e, w1c = _head_split_w1(ws, ce)
+    wcast = [w.astype(e.dtype) for w in ws[1:]]
+    bcast = [bb.reshape(1, -1).astype(jnp.float32) for bb in bs]
+    c_out = ws[-1].shape[1]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tr, ce), lambda bi, ti, si: (bi, si, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tr, ctx.shape[-1]),
+                     lambda bi, ti, si: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        _full(w1e.shape), _full(w1c.shape), _full(bcast[0].shape),
+    ]
+    for w, bb in zip(wcast, bcast[1:]):
+        in_specs += [_full(w.shape), _full(bb.shape)]
+
+    out = pl.pallas_call(
+        functools.partial(_head_fwd_kernel, acts=acts),
+        grid=(b, n_tiles, s),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tr, c_out),
+                               lambda bi, ti, si: (bi, si, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, hwp, c_out), jnp.float32),
+        interpret=_pk.INTERPRET,
+    )(ep, ctxp, w1e.astype(e.dtype), w1c.astype(e.dtype), bcast[0],
+      *[t for pair in zip(wcast, bcast[1:]) for t in pair])
+    return out[:, :, :hw]
+
+
+def _head_bwd_pallas(e, ctx, g, ws, bs, acts):
+    b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
+    ep = _pad_rows(e, hwp)
+    ctxp = _pad_rows(ctx, hwp)
+    gp = _pad_rows(g.astype(jnp.float32), hwp)
+    w1e, w1c = _head_split_w1(ws, ce)
+    wcast = [w.astype(e.dtype) for w in ws[1:]]
+    bcast = [bb.reshape(1, -1).astype(jnp.float32) for bb in bs]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tr, ce), lambda bi, ti, si: (bi, si, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tr, ctx.shape[-1]),
+                     lambda bi, ti, si: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tr, g.shape[-1]),
+                     lambda bi, ti, si: (bi, si, ti, 0),
+                     memory_space=pltpu.VMEM),
+        _full(w1e.shape), _full(w1c.shape), _full(bcast[0].shape),
+    ]
+    for w, bb in zip(wcast, bcast[1:]):
+        in_specs += [_full(w.shape), _full(bb.shape)]
+
+    out_specs = [
+        pl.BlockSpec((1, 1, tr, ce), lambda bi, ti, si: (bi, si, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tr, ctx.shape[-1]),
+                     lambda bi, ti, si: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        _full(w1e.shape), _full(w1c.shape), _full((1, bs[0].shape[-1])),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, s, hwp, ce), e.dtype),
+        jax.ShapeDtypeStruct((b, hwp, ctx.shape[-1]), jnp.float32),
+        jax.ShapeDtypeStruct(w1e.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w1c.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, bs[0].shape[-1]), jnp.float32),
+    ]
+    for w, bb in zip(ws[1:], bs[1:]):
+        out_specs += [_full(w.shape), _full((1, bb.shape[-1]))]
+        out_shapes += [
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, bb.shape[-1]), jnp.float32),
+        ]
+
+    outs = pl.pallas_call(
+        functools.partial(_head_bwd_kernel, acts=acts),
+        grid=(b, n_tiles, s),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_pk.INTERPRET,
+    )(ep, ctxp, gp, w1e.astype(e.dtype), w1c.astype(e.dtype), bcast[0],
+      *[t for pair in zip(wcast, bcast[1:]) for t in pair])
+
+    de = outs[0][:, :, :hw]
+    dctx = outs[1][:, :hw]
+    dw1 = jnp.concatenate([outs[2], outs[3]], axis=0)
+    dws = [dw1] + [outs[5 + 2 * i] for i in range(len(ws) - 1)]
+    dbs = [outs[4].reshape(bs[0].shape)] + [
+        outs[5 + 2 * i + 1].reshape(bs[i + 1].shape)
+        for i in range(len(ws) - 1)
+    ]
+    return de, dctx, dws, dbs
+
+
+def _head_xla(e, ctx, ws, bs, acts):
+    b, s, hw, ce = e.shape
+    joint = jnp.concatenate(
+        [e, jnp.broadcast_to(
+            ctx[:, None].astype(e.dtype), (b, s, hw, ctx.shape[-1])
+        )],
+        axis=-1,
+    )
+    out = _mlp_xla(joint.reshape(-1, joint.shape[-1]), list(ws), list(bs),
+                   acts)
+    return out.reshape(b, s, hw, ws[-1].shape[1]).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pathnet_head(e, ctx, ws, bs, acts):
+    """Head chain over [e | broadcast_S(ctx)] without materializing the
+    concat. e (B,S,HW,Ce) in compute dtype; ctx (B,HW,Cc) f32;
+    ws[0] has shape (Ce+Cc, C1). Returns (B,S,HW,Cout) f32."""
+    if _on_tpu():
+        return _head_fwd_pallas(e, ctx, list(ws), list(bs), tuple(acts))
+    return _head_xla(e, ctx, ws, bs, tuple(acts))
+
+
+def _ph_fwd(e, ctx, ws, bs, acts):
+    return pathnet_head(e, ctx, ws, bs, acts), (e, ctx, list(ws), list(bs))
+
+
+def _ph_bwd(acts, res, g):
+    e, ctx, ws, bs = res
+    if _on_tpu():
+        de, dctx, dws, dbs = _head_bwd_pallas(e, ctx, g, ws, bs,
+                                              tuple(acts))
+    else:
+        def f(e_, ctx_, ws_, bs_):
+            return _head_xla(e_, ctx_, ws_, bs_, tuple(acts))
+
+        _, vjp = jax.vjp(f, e, ctx, ws, bs)
+        de, dctx, dws, dbs = vjp(g)
+    return de, dctx, dws, dbs
+
+
+pathnet_head.defvjp(_ph_fwd, _ph_bwd)

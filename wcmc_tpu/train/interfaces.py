@@ -292,11 +292,23 @@ class KPCNInterface(BaseInterface):
 
     # -- functional pieces --------------------------------------------------
     def _dual_pathnet(self, params, batch):
-        """Run the diffuse and specular PathNets.
+        """Run the diffuse and specular PathNets as one fused pass.
 
         NOTE(perf): a vmapped-weights joint forward was measured slower
         on v5e than two sequential applies (XLA lowers vmapped-filter
-        convolutions poorly), so this stays sequential."""
+        convolutions poorly). The block-diagonal dual kernel
+        (models/pathnet.py::dual_pathnet_apply) instead doubles the
+        per-pixel chains' channel width to full MXU occupancy and reads
+        the paths tensor once."""
+        from wcmc_tpu.models.pathnet import PathNet, dual_pathnet_apply
+
+        m_d = self.models["backbone_diffuse"]
+        m_s = self.models["backbone_specular"]
+        if isinstance(m_d, PathNet) and isinstance(m_s, PathNet):
+            return dual_pathnet_apply(
+                m_d, params["backbone_diffuse"],
+                m_s, params["backbone_specular"], batch,
+            )
         p_d = self.models["backbone_diffuse"].apply(
             {"params": params["backbone_diffuse"]}, batch
         )
