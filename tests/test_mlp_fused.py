@@ -297,3 +297,86 @@ def test_dual_pathnet_matches_separate_applies(rng):
                     jax.tree_util.tree_leaves((gd_r, gs_r))):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pathnet_head_moments_interpret(rng):
+    """Fused sum/sumsq accumulators == XLA reductions, incl. gradient
+    flow through the sum (mean path into the KPCN input concat)."""
+    b, s, hw, ce = 2, 3, 192, 64
+    ws, bs = _chain_params(rng, (128, 128, 3))
+    e = jnp.asarray(rng.standard_normal((b, s, hw, ce)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((b, hw, ce)).astype(np.float32))
+
+    old = pf._HEAD_TILE
+    pf._HEAD_TILE = 64
+    _force_pallas()
+    try:
+        out, ssum, ssq = pf.pathnet_head(e, ctx, ws, bs, ("relu", "relu"),
+                                         True)
+    finally:
+        _unforce()
+        pf._HEAD_TILE = old
+    out_r, sum_r, sq_r = pf._head_xla(e, ctx, ws, bs, ("relu", "relu"),
+                                      moments=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ssum), np.asarray(sum_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ssq), np.asarray(sq_r),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(e_, c_, ws_, bs_, impl):
+        o, sm, sq = impl(e_, c_, ws_, bs_, ("relu", "relu"), True)
+        # use out + sum + sumsq so every cotangent path is exercised
+        return (jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(sm))
+                + 0.1 * jnp.sum(jnp.sqrt(sq + 1.0)))
+
+    old = pf._HEAD_TILE
+    pf._HEAD_TILE = 64
+    _force_pallas()
+    try:
+        grads = jax.grad(lambda *a: loss(*a, pf.pathnet_head),
+                         argnums=(0, 1, 2, 3))(e, ctx, ws, bs)
+    finally:
+        _unforce()
+        pf._HEAD_TILE = old
+    grads_r = jax.grad(
+        lambda *a: loss(*a, lambda e_, c_, w_, b_, ac, m: pf._head_xla(
+            e_, c_, w_, b_, ac, moments=m)),
+        argnums=(0, 1, 2, 3),
+    )(e, ctx, ws, bs)
+    for g, r in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_interface_moments_match_direct(rng):
+    """KPCN input concat built from fused moments == the reference
+    formulation (mean over S, biased var / spp, detached)."""
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from wcmc_tpu.data.batches import synthetic_batch
+    from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+    from wcmc_tpu.train.interfaces import p_buffer_variance, split_disentangle
+
+    cfg = TrainConfig(base_model="kpcn", kpcn_ksize=5, use_llpm_buf=True,
+                      manif_learn=True, manif_loss="FMSE",
+                      finite_check_every=1)
+    iface = init_interfaces(cfg)[0]
+    batch = synthetic_batch(np.random.default_rng(3), "kpcn", batch_size=2,
+                            patch=32, spp=2, use_llpm_buf=True)
+    iface.preprocess(batch)
+    params = {n: iface.states[n].params for n in iface.states}
+    net_batch, _ = iface._forward_with_paths(params, batch)
+
+    p_d, p_s = iface._dual_pathnet(params, batch)
+    _, recon_d = split_disentangle(p_d, iface.disentanglement_option)
+    want = jnp.concatenate(
+        [batch["kpcn_diffuse_in"], recon_d.mean(axis=1),
+         p_buffer_variance(recon_d)], axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(net_batch["kpcn_diffuse_in"]), np.asarray(want),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -93,7 +93,8 @@ def _block_diag(a, b):
     )
 
 
-def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch):
+def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch,
+                       with_moments=False):
     """Run the diffuse and specular PathNets as ONE fused kernel pass.
 
     Both branches read the same ``batch['paths']``; as two separate
@@ -181,6 +182,14 @@ def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch):
         for i in range(2)
     ]
 
+    if with_moments:
+        out, ssum, ssq = pathnet_head(
+            e, ctx, ws_h, bs_h, ("relu", "relu"), True
+        )
+        out = out.reshape(b, s, h, w, 2 * outc)
+        moments = (ssum.reshape(b, h, w, 2 * outc),
+                   ssq.reshape(b, h, w, 2 * outc))
+        return out[..., :outc], out[..., outc:], moments
     out = pathnet_head(e, ctx, ws_h, bs_h, ("relu", "relu"))
     out = out.reshape(b, s, h, w, 2 * outc)
     return out[..., :outc], out[..., outc:]

@@ -263,9 +263,10 @@ pathnet_embed.defvjp(_pe_fwd, _pe_bwd)
 # ---------------------------------------------------------------------------
 
 def _head_fwd_kernel(e_ref, ctx_ref, w1e_ref, w1c_ref, b1_ref, *refs,
-                     acts):
-    out_ref = refs[-1]
-    rest = refs[:-1]
+                     acts, moments):
+    n_out = 3 if moments else 1
+    out_refs = refs[len(refs) - n_out:]
+    rest = refs[:len(refs) - n_out]
     z = jnp.dot(e_ref[0, 0], w1e_ref[...],
                 preferred_element_type=jnp.float32)
     z += jnp.dot(ctx_ref[0], w1c_ref[...],
@@ -277,12 +278,33 @@ def _head_fwd_kernel(e_ref, ctx_ref, w1e_ref, w1c_ref, b1_ref, *refs,
         z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         h_f32 = _act(acts[i + 1], z)
         h = h_f32.astype(e_ref.dtype)
-    out_ref[0, 0] = h_f32.astype(out_ref.dtype)
+    out_refs[0][0, 0] = h_f32.astype(out_refs[0].dtype)
+    if moments:
+        # running sum / sum-of-squares over the S grid axis (innermost,
+        # so the accumulator block is revisited on adjacent steps) —
+        # feeds the KPCN inputs' p-buffer mean and variance without an
+        # XLA reduce over the (B,S,H,W,C) tensor
+        si = pl.program_id(2)
+        sq = h_f32 * h_f32
+
+        @pl.when(si == 0)
+        def _init():
+            out_refs[1][0] = h_f32
+            out_refs[2][0] = sq
+
+        @pl.when(si != 0)
+        def _acc():
+            out_refs[1][0] += h_f32
+            out_refs[2][0] += sq
 
 
-def _head_bwd_kernel(e_ref, ctx_ref, g_ref, w1e_ref, w1c_ref, b1_ref,
-                     *refs, acts):
+def _head_bwd_kernel(e_ref, ctx_ref, g_ref, *all_refs, acts, moments):
     n_rest = len(acts) - 1
+    if moments:
+        gsum_ref, gsq_ref = all_refs[0], all_refs[1]
+        all_refs = all_refs[2:]
+    w1e_ref, w1c_ref, b1_ref = all_refs[:3]
+    refs = all_refs[3:]
     w_refs = [refs[2 * i] for i in range(n_rest)]
     b_refs = [refs[2 * i + 1] for i in range(n_rest)]
     outs = refs[2 * n_rest:]
@@ -300,13 +322,18 @@ def _head_bwd_kernel(e_ref, ctx_ref, g_ref, w1e_ref, w1c_ref, b1_ref,
     ctx = ctx_ref[0].astype(e.dtype)
     z1 = jnp.dot(e, w1e_ref[...], preferred_element_type=jnp.float32)
     z1 += jnp.dot(ctx, w1c_ref[...], preferred_element_type=jnp.float32)
-    hs = [_act(acts[0], z1 + b1_ref[...]).astype(e.dtype)]
+    h_f32 = _act(acts[0], z1 + b1_ref[...])
+    hs = [h_f32.astype(e.dtype)]
     for i in range(n_rest):
         z = jnp.dot(hs[-1], w_refs[i][...],
                     preferred_element_type=jnp.float32) + b_refs[i][...]
-        hs.append(_act(acts[i + 1], z).astype(e.dtype))
+        h_f32 = _act(acts[i + 1], z)
+        hs.append(h_f32.astype(e.dtype))
 
     g = g_ref[0, 0].astype(jnp.float32)
+    if moments:
+        # out = h_f32 (recomputed); sum/sumsq cotangents broadcast over S
+        g = g + gsum_ref[0] + 2.0 * h_f32 * gsq_ref[0]
     for i in reversed(range(n_rest)):
         gz = _act_grad(acts[i + 1], hs[i + 1], g)
         gz_c = gz.astype(e.dtype)
@@ -382,7 +409,7 @@ def _head_split_w1(ws, ce):
     return w1[:ce], w1[ce:]
 
 
-def _head_fwd_pallas(e, ctx, ws, bs, acts):
+def _head_fwd_pallas(e, ctx, ws, bs, acts, moments):
     b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
     ep = _pad_rows(e, hwp)
     ctxp = _pad_rows(ctx, hwp).astype(e.dtype)
@@ -402,21 +429,33 @@ def _head_fwd_pallas(e, ctx, ws, bs, acts):
     for w, bb in zip(wcast, bcast[1:]):
         in_specs += [_full(w.shape), _full(bb.shape)]
 
-    out = pl.pallas_call(
-        functools.partial(_head_fwd_kernel, acts=acts),
+    out_specs = [pl.BlockSpec((1, 1, tr, c_out),
+                              lambda bi, ti, si: (bi, si, ti, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((b, s, hwp, c_out), jnp.float32)]
+    if moments:
+        mom_spec = pl.BlockSpec((1, tr, c_out),
+                                lambda bi, ti, si: (bi, ti, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs += [mom_spec, mom_spec]
+        out_shapes += [jax.ShapeDtypeStruct((b, hwp, c_out), jnp.float32)] * 2
+
+    outs = pl.pallas_call(
+        functools.partial(_head_fwd_kernel, acts=acts, moments=moments),
         grid=(b, n_tiles, s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tr, c_out),
-                               lambda bi, ti, si: (bi, si, ti, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, hwp, c_out), jnp.float32),
+        out_specs=out_specs if moments else out_specs[0],
+        out_shape=out_shapes if moments else out_shapes[0],
         interpret=_pk.INTERPRET,
     )(ep, ctxp, w1e.astype(e.dtype), w1c.astype(e.dtype), bcast[0],
       *[t for pair in zip(wcast, bcast[1:]) for t in pair])
-    return out[:, :, :hw]
+    if moments:
+        out, ssum, ssq = outs
+        return out[:, :, :hw], ssum[:, :hw], ssq[:, :hw]
+    return outs[:, :, :hw]
 
 
-def _head_bwd_pallas(e, ctx, g, ws, bs, acts):
+def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):
     b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
     ep = _pad_rows(e, hwp)
     ctxp = _pad_rows(ctx, hwp)
@@ -434,8 +473,19 @@ def _head_bwd_pallas(e, ctx, g, ws, bs, acts):
         pl.BlockSpec((1, 1, tr, g.shape[-1]),
                      lambda bi, ti, si: (bi, si, ti, 0),
                      memory_space=pltpu.VMEM),
-        _full(w1e.shape), _full(w1c.shape), _full(bcast[0].shape),
     ]
+    mom_args = ()
+    if moments:
+        c_out = ws[-1].shape[1]
+        mom_spec = pl.BlockSpec((1, tr, c_out),
+                                lambda bi, ti, si: (bi, ti, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [mom_spec, mom_spec]
+        mom_args = (
+            _pad_rows(gsum.astype(jnp.float32), hwp),
+            _pad_rows(gsq.astype(jnp.float32), hwp),
+        )
+    in_specs += [_full(w1e.shape), _full(w1c.shape), _full(bcast[0].shape)]
     for w, bb in zip(wcast, bcast[1:]):
         in_specs += [_full(w.shape), _full(bb.shape)]
 
@@ -462,13 +512,14 @@ def _head_bwd_pallas(e, ctx, g, ws, bs, acts):
         ]
 
     outs = pl.pallas_call(
-        functools.partial(_head_bwd_kernel, acts=acts),
+        functools.partial(_head_bwd_kernel, acts=acts, moments=moments),
         grid=(b, n_tiles, s),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_pk.INTERPRET,
-    )(ep, ctxp, gp, w1e.astype(e.dtype), w1c.astype(e.dtype), bcast[0],
+    )(ep, ctxp, gp, *mom_args,
+      w1e.astype(e.dtype), w1c.astype(e.dtype), bcast[0],
       *[t for pair in zip(wcast, bcast[1:]) for t in pair])
 
     de = outs[0][:, :, :hw]
@@ -482,7 +533,7 @@ def _head_bwd_pallas(e, ctx, g, ws, bs, acts):
     return de, dctx, dws, dbs
 
 
-def _head_xla(e, ctx, ws, bs, acts):
+def _head_xla(e, ctx, ws, bs, acts, moments=False):
     b, s, hw, ce = e.shape
     joint = jnp.concatenate(
         [e, jnp.broadcast_to(
@@ -492,31 +543,44 @@ def _head_xla(e, ctx, ws, bs, acts):
     )
     out = _mlp_xla(joint.reshape(-1, joint.shape[-1]), list(ws), list(bs),
                    acts)
-    return out.reshape(b, s, hw, ws[-1].shape[1]).astype(jnp.float32)
+    out = out.reshape(b, s, hw, ws[-1].shape[1]).astype(jnp.float32)
+    if moments:
+        return out, jnp.sum(out, axis=1), jnp.sum(out * out, axis=1)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def pathnet_head(e, ctx, ws, bs, acts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def pathnet_head(e, ctx, ws, bs, acts, moments=False):
     """Head chain over [e | broadcast_S(ctx)] without materializing the
     concat. e (B,S,HW,Ce) in compute dtype; ctx (B,HW,Cc) f32;
-    ws[0] has shape (Ce+Cc, C1). Returns (B,S,HW,Cout) f32."""
+    ws[0] has shape (Ce+Cc, C1). Returns (B,S,HW,Cout) f32, or with
+    ``moments`` a tuple (out, sum_S(out), sum_S(out^2)) where the f32
+    moments are accumulated in VMEM (feeds the KPCN inputs' p-buffer
+    mean/variance without an XLA reduce over the sample axis)."""
     if _on_tpu():
-        return _head_fwd_pallas(e, ctx, list(ws), list(bs), tuple(acts))
-    return _head_xla(e, ctx, ws, bs, tuple(acts))
+        return _head_fwd_pallas(e, ctx, list(ws), list(bs), tuple(acts),
+                                moments)
+    return _head_xla(e, ctx, ws, bs, tuple(acts), moments)
 
 
-def _ph_fwd(e, ctx, ws, bs, acts):
-    return pathnet_head(e, ctx, ws, bs, acts), (e, ctx, list(ws), list(bs))
+def _ph_fwd(e, ctx, ws, bs, acts, moments):
+    out = pathnet_head(e, ctx, ws, bs, acts, moments)
+    return out, (e, ctx, list(ws), list(bs))
 
 
-def _ph_bwd(acts, res, g):
+def _ph_bwd(acts, moments, res, g):
     e, ctx, ws, bs = res
+    if moments:
+        g_out, g_sum, g_sq = g
+    else:
+        g_out, g_sum, g_sq = g, None, None
     if _on_tpu():
-        de, dctx, dws, dbs = _head_bwd_pallas(e, ctx, g, ws, bs,
-                                              tuple(acts))
+        de, dctx, dws, dbs = _head_bwd_pallas(
+            e, ctx, g_out, g_sum, g_sq, ws, bs, tuple(acts), moments
+        )
     else:
         def f(e_, ctx_, ws_, bs_):
-            return _head_xla(e_, ctx_, ws_, bs_, tuple(acts))
+            return _head_xla(e_, ctx_, ws_, bs_, tuple(acts), moments)
 
         _, vjp = jax.vjp(f, e, ctx, ws, bs)
         de, dctx, dws, dbs = vjp(g)

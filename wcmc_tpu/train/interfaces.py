@@ -317,20 +317,63 @@ class KPCNInterface(BaseInterface):
         )
         return p_d, p_s
 
+    def _dual_pathnet_with_moments(self, params, batch):
+        """Dual PathNet forward plus per-branch sample moments.
+
+        Returns (p_d, p_s, mean_d, mean_s, var_d, var_s) where mean/var
+        are full-channel (B,H,W,outc) f32 over the sample axis. On the
+        fused dual path the moments come from VMEM accumulators in the
+        head kernel instead of an XLA reduce over (B,S,H,W,C)."""
+        from wcmc_tpu.models.pathnet import PathNet, dual_pathnet_apply
+
+        m_d = self.models["backbone_diffuse"]
+        m_s = self.models["backbone_specular"]
+        if isinstance(m_d, PathNet) and isinstance(m_s, PathNet):
+            p_d, p_s, (ssum, ssq) = dual_pathnet_apply(
+                m_d, params["backbone_diffuse"],
+                m_s, params["backbone_specular"], batch, with_moments=True,
+            )
+            s = p_d.shape[1]
+            outc = p_d.shape[-1]
+            mean = ssum / s
+            var = jnp.maximum(ssq / s - mean * mean, 0.0)
+            return (p_d, p_s, mean[..., :outc], mean[..., outc:],
+                    var[..., :outc], var[..., outc:])
+        p_d, p_s = self._dual_pathnet(params, batch)
+        return (p_d, p_s, p_d.mean(axis=1), p_s.mean(axis=1),
+                p_d.var(axis=1), p_s.var(axis=1))
+
+    @staticmethod
+    def _variance_feature(var_slice, s):
+        """(B,H,W,C) per-channel sample variance -> the detached
+        (B,H,W,1) variance/spp input feature (reference
+        interfaces.py:165-168)."""
+        return jax.lax.stop_gradient(
+            var_slice.mean(axis=-1, keepdims=True) / s
+        )
+
     def _forward_with_paths(self, params, batch, for_training=True):
         """PathNet forward + disentangle + input concat.  Returns
         (augmented batch, manifold buffers dict or None)."""
-        p_d, p_s = self._dual_pathnet(params, batch)
-        manif_d, recon_d = split_disentangle(p_d, self.disentanglement_option)
-        manif_s, recon_s = split_disentangle(p_s, self.disentanglement_option)
+        p_d, p_s, mean_d, mean_s, var_d, var_s = (
+            self._dual_pathnet_with_moments(params, batch)
+        )
+        s = p_d.shape[1]
+        opt = self.disentanglement_option
+        manif_d, _ = split_disentangle(p_d, opt)
+        manif_s, _ = split_disentangle(p_s, opt)
+        _, mean_recon_d = split_disentangle(mean_d, opt)
+        _, mean_recon_s = split_disentangle(mean_s, opt)
+        _, var_recon_d = split_disentangle(var_d, opt)
+        _, var_recon_s = split_disentangle(var_s, opt)
         new_batch = dict(batch)
         new_batch["kpcn_diffuse_in"] = jnp.concatenate(
-            [batch["kpcn_diffuse_in"], recon_d.mean(axis=1),
-             p_buffer_variance(recon_d)], axis=-1,
+            [batch["kpcn_diffuse_in"], mean_recon_d,
+             self._variance_feature(var_recon_d, s)], axis=-1,
         )
         new_batch["kpcn_specular_in"] = jnp.concatenate(
-            [batch["kpcn_specular_in"], recon_s.mean(axis=1),
-             p_buffer_variance(recon_s)], axis=-1,
+            [batch["kpcn_specular_in"], mean_recon_s,
+             self._variance_feature(var_recon_s, s)], axis=-1,
         )
         manif = {"diffuse": manif_d, "specular": manif_s} if for_training else None
         return new_batch, manif
@@ -408,20 +451,24 @@ class KPCNInterface(BaseInterface):
             p_buffers = None
             net_batch = batch
             if self.use_llpm_buf:
-                p_d, p_s = self._dual_pathnet(params, batch)
+                p_d, p_s, mean_d, mean_s, var_d, var_s = (
+                    self._dual_pathnet_with_moments(params, batch)
+                )
+                s = p_d.shape[1]
                 if self.disentanglement_option in ("m10r01", "m11r01"):
                     c = p_d.shape[-1]
-                    p_d = p_d[..., :c // 2]
-                    p_s = p_s[..., :c // 2]
+                    p_d, p_s = p_d[..., :c // 2], p_s[..., :c // 2]
+                    mean_d, mean_s = mean_d[..., :c // 2], mean_s[..., :c // 2]
+                    var_d, var_s = var_d[..., :c // 2], var_s[..., :c // 2]
                 p_buffers = {"diffuse": p_d, "specular": p_s}
                 net_batch = dict(batch)
                 net_batch["kpcn_diffuse_in"] = jnp.concatenate(
-                    [batch["kpcn_diffuse_in"], p_d.mean(axis=1),
-                     p_buffer_variance(p_d)], axis=-1,
+                    [batch["kpcn_diffuse_in"], mean_d,
+                     self._variance_feature(var_d, s)], axis=-1,
                 )
                 net_batch["kpcn_specular_in"] = jnp.concatenate(
-                    [batch["kpcn_specular_in"], p_s.mean(axis=1),
-                     p_buffer_variance(p_s)], axis=-1,
+                    [batch["kpcn_specular_in"], mean_s,
+                     self._variance_feature(var_s, s)], axis=-1,
                 )
             out = self.models["dncnn"].apply(
                 {"params": params["dncnn"]}, net_batch
