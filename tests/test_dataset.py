@@ -200,3 +200,57 @@ def test_grid_sampling_deterministic(data_root):
     np.testing.assert_array_equal(
         ds1[0]["kpcn_diffuse_in"], ds2[0]["kpcn_diffuse_in"]
     )
+
+
+def test_shuffle_loader_covers_all_patches(data_root):
+    """ShuffleLoader must serve every patch exactly once per epoch,
+    with cross-image mixing and epoch-varying order."""
+    from wcmc_tpu.data.dataset import ShuffleLoader
+
+    ds = DenoiseDataset(data_root, 4, "kpcn", "train", batch_size=2,
+                        sampling="grid", patches_per_image=4)
+    loader = ShuffleLoader(ds, batch_size=2, window_images=2, workers=2,
+                           seed=7)
+    n_imgs = len(ds.gt_files)
+
+    def epoch_sums():
+        sums = []
+        for batch in loader:
+            assert batch["kpcn_diffuse_in"].shape == (2, 128, 128, 34)
+            sums.extend(
+                float(x) for x in
+                batch["kpcn_diffuse_in"].sum(axis=(1, 2, 3))
+            )
+        return sums
+
+    e1, e2 = epoch_sums(), epoch_sums()
+    assert len(e1) == n_imgs * 4 == len(loader) * 2
+    # same multiset of patches each epoch (grid sampling is
+    # deterministic), different order (shuffled)
+    assert sorted(e1) == pytest.approx(sorted(e2))
+    assert e1 != e2
+
+
+def test_shuffle_loader_never_mixes_shapes():
+    from wcmc_tpu.data.dataset import ShuffleLoader
+
+    class FakeDS:
+        gt_files = ["a", "b", "c"]
+
+        def __len__(self):
+            return 12
+
+        def load_patches(self, img, rng=None):
+            s = 2 if img < 2 else 4
+            return [{"radiance": np.full((s, 8, 8, 3), img, np.float32)}
+                    for _ in range(4)]
+
+    loader = ShuffleLoader(FakeDS(), batch_size=4, window_images=3,
+                           workers=2, seed=0)
+    batches = list(loader)
+    served = 0
+    for b in batches:
+        assert b["radiance"].shape[0] == 4
+        assert b["radiance"].shape[1] in (2, 4)
+        served += b["radiance"].shape[0]
+    assert served == 12

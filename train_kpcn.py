@@ -29,9 +29,9 @@ from wcmc_tpu.cli import (
     add_manifold_flags,
     validate_manifold_flags,
 )
-from wcmc_tpu.data.dataset import BatchLoader, MSDenoiseDataset
+from wcmc_tpu.data.dataset import BatchLoader, MSDenoiseDataset, ShuffleLoader
 from wcmc_tpu.train.checkpoint import load_checkpoint, restore_interface
-from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+from wcmc_tpu.train.factory import sweep_checkpoint_name, TrainConfig, init_interfaces
 from wcmc_tpu.train.loop import train
 
 BS_VAL = 4  # validation batch size (reference train_kpcn.py:383)
@@ -57,7 +57,10 @@ def init_data(args):
 
     dataloaders = {
         "train": DevicePrefetcher(
-            BatchLoader(datasets["train"], args.batch_size)
+            # cross-image shuffling + threaded image prefetch (the
+            # reference shuffles globally via its DataLoader sampler)
+            ShuffleLoader(datasets["train"], args.batch_size,
+                          seed=args.seed)
         ),
         "val": DevicePrefetcher(BatchLoader(datasets["val"], BS_VAL)),
     }
@@ -77,6 +80,7 @@ def make_config(args) -> TrainConfig:
         manif_learn=args.manif_learn,
         manif_loss=args.manif_loss,
         local=args.local,
+        manif_pairing=getattr(args, 'manif_pairing', 'roll'),
         disentangle=args.disentangle,
         train_branches=args.train_branches,
         kpcn_ref=args.kpcn_ref,
@@ -96,10 +100,7 @@ def init_model(dataset, args):
     interfaces = init_interfaces(make_config(args), args)
     grid = len(interfaces)
     for i, iface in enumerate(interfaces):
-        if grid == 1:
-            fn = os.path.join(args.save, args.model_name + ".ckpt")
-        else:
-            fn = os.path.join(args.save, f"{args.model_name}_trial{i}.ckpt")
+        fn = sweep_checkpoint_name(args.save, args.model_name, interfaces, i)
         assert args.start_epoch != 0 or not os.path.isfile(fn), (
             f"Model {fn} already exists."
         )

@@ -20,9 +20,9 @@ from wcmc_tpu.cli import (
     add_manifold_flags,
     validate_manifold_flags,
 )
-from wcmc_tpu.data.dataset import BatchLoader, MSDenoiseDataset
+from wcmc_tpu.data.dataset import BatchLoader, MSDenoiseDataset, ShuffleLoader
 from wcmc_tpu.train.checkpoint import load_checkpoint, restore_interface
-from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+from wcmc_tpu.train.factory import sweep_checkpoint_name, TrainConfig, init_interfaces
 from wcmc_tpu.train.loop import train
 
 BS_VAL = 4
@@ -48,7 +48,10 @@ def init_data(args):
 
     dataloaders = {
         "train": DevicePrefetcher(
-            BatchLoader(datasets["train"], args.batch_size)
+            # cross-image shuffling + threaded image prefetch (the
+            # reference shuffles globally via its DataLoader sampler)
+            ShuffleLoader(datasets["train"], args.batch_size,
+                          seed=args.seed)
         ),
         "val": DevicePrefetcher(BatchLoader(datasets["val"], BS_VAL)),
     }
@@ -70,6 +73,7 @@ def make_config(args) -> TrainConfig:
         manif_learn=args.manif_learn,
         manif_loss=args.manif_loss,
         local=args.local,
+        manif_pairing=getattr(args, 'manif_pairing', 'roll'),
         disentangle=args.disentangle,
         seed=args.seed,
         compute_dtype=getattr(args, 'compute_dtype', 'bfloat16'),
@@ -80,10 +84,7 @@ def make_config(args) -> TrainConfig:
 def init_model(dataset, args):
     interfaces = init_interfaces(make_config(args), args)
     for i, iface in enumerate(interfaces):
-        if len(interfaces) == 1:
-            fn = os.path.join(args.save, args.model_name + ".ckpt")
-        else:
-            fn = os.path.join(args.save, f"{args.model_name}_trial{i}.ckpt")
+        fn = sweep_checkpoint_name(args.save, args.model_name, interfaces, i)
         assert args.start_epoch != 0 or not os.path.isfile(fn), (
             f"Model {fn} already exists."
         )

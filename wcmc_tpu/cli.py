@@ -43,6 +43,9 @@ class BasicArgumentParser(argparse.ArgumentParser):
                           help="number of epochs.")
         self.add_argument("-v", "--val_epoch", type=int, default=1,
                           help="validate the model every val_epoch epoch.")
+        # NOTE: --vis_iter / --num_samples are accepted for flag parity
+        # but intentionally inert — the reference defines them
+        # (support/utils.py:91-95) and never reads them anywhere either.
         self.add_argument("--vis_iter", type=int, default=4,
                           help="visualize the training dataset every vis_iter iteration.")
         self.add_argument("--start_epoch", type=int, default=0,
@@ -85,6 +88,11 @@ def add_manifold_flags(parser):
     parser.add_argument("--disentangle", type=str, default="m11r11",
                         help="`m11r11`, `m10r01`, `m10r11`, or `m11r01`")
     parser.add_argument("--local", action="store_true")
+    parser.add_argument("--manif_pairing", type=str, default="roll",
+                        choices=["roll", "permutation"],
+                        help="FMSE/GRS pair sampling: 'permutation' is "
+                             "reference-exact; 'roll' is the TPU fast path "
+                             "(see losses.py).")
 
 
 def add_common_train_flags(parser):

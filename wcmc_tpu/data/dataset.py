@@ -338,9 +338,12 @@ class DenoiseDataset:
         return sample, in_fn
 
     def _sample_coords(self, shape, prob: np.ndarray | None,
-                       prob_key: str | None = None):
+                       prob_key: str | None = None,
+                       rng: np.random.Generator | None = None):
         h, w = shape
         n = self.patches_per_image
+        if rng is None:
+            rng = self._rng
         if self.sampling == "grid":
             coords = [
                 (x, y)
@@ -363,13 +366,19 @@ class DenoiseDataset:
                 if len(self._alias_samplers) >= 256:  # bound host memory
                     self._alias_samplers.clear()
                 self._alias_samplers[prob_key] = sampler
-            idx = sampler.sample(n, int(self._rng.integers(0, 2**63)))
+            idx = sampler.sample(n, int(rng.integers(0, 2**63)))
             return [(int(i) // pw, int(i) % pw) for i in idx]
-        xs = self._rng.integers(0, h - PATCH_SIZE + 1, n)
-        ys = self._rng.integers(0, w - PATCH_SIZE + 1, n)
+        xs = rng.integers(0, h - PATCH_SIZE + 1, n)
+        ys = rng.integers(0, w - PATCH_SIZE + 1, n)
         return list(zip(xs.tolist(), ys.tolist()))
 
-    def _cut_patches(self, img_idx: int):
+    def load_patches(self, img_idx: int,
+                     rng: np.random.Generator | None = None) -> list:
+        """Load one image and cut its patches; pure given ``rng`` (no
+        dataset state mutated), so it is safe to call from loader
+        worker threads (ShuffleLoader)."""
+        if rng is None:
+            rng = self._rng
         sample, in_fn = self._load_image(img_idx)
         any_key = next(iter(sample))
         h, w = sample[any_key].shape[:2]
@@ -379,34 +388,37 @@ class DenoiseDataset:
             prob_fn = _cache_name(in_fn, "prob_imp")
             if os.path.isfile(prob_fn):
                 prob = np.load(prob_fn)
-        coords = self._sample_coords((h, w), prob, prob_key=prob_fn)
+        coords = self._sample_coords((h, w), prob, prob_key=prob_fn, rng=rng)
         # threaded C++ gather with the sample-axis transpose fused
         # (numpy fallback inside when the native lib isn't built)
         from wcmc_tpu.data.native_loader import extract_patches
 
         if self.augment:
             # augmentation needs (H, W, ...) layout; go patch by patch
-            self._patches = []
+            patches = []
             for x, y in coords:
                 patch = {
                     k: np.ascontiguousarray(v[x:x + PATCH_SIZE, y:y + PATCH_SIZE])
                     for k, v in sample.items()
                 }
                 patch = self.random_rot(
-                    self.random_flip(patch, self._rng), self._rng
+                    self.random_flip(patch, rng), rng
                 )
-                self._patches.append(self._to_model_layout(patch))
-        else:
-            per_key = {
-                k: extract_patches(
-                    np.ascontiguousarray(v, np.float32), coords, PATCH_SIZE
-                )
-                for k, v in sample.items()
-            }
-            self._patches = [
-                {k: per_key[k][i] for k in per_key}
-                for i in range(len(coords))
-            ]
+                patches.append(self._to_model_layout(patch))
+            return patches
+        per_key = {
+            k: extract_patches(
+                np.ascontiguousarray(v, np.float32), coords, PATCH_SIZE
+            )
+            for k, v in sample.items()
+        }
+        return [
+            {k: per_key[k][i] for k in per_key}
+            for i in range(len(coords))
+        ]
+
+    def _cut_patches(self, img_idx: int):
+        self._patches = self.load_patches(img_idx)
         self._cached_idx = img_idx
 
     @staticmethod
@@ -572,3 +584,137 @@ class BatchLoader:
                 k: np.stack([it[k] for it in pending], axis=0)
                 for k in pending[0]
             }
+
+
+class ShuffleLoader:
+    """Cross-image shuffling batch loader with threaded image prefetch.
+
+    Replaces :class:`BatchLoader` for training. Two weaknesses of the
+    sequential loader (vs the reference's globally-shuffling torch
+    DataLoader, reference train_kpcn.py:177-188):
+
+    * patches were served consecutively per image, and the inter-image
+      order was fixed per epoch — weaker shuffling than the reference's
+      sampler;
+    * a single thread alternated image loading (np.load + patch gather)
+      with serving, so an accelerator stalls at every image boundary.
+
+    Here images are visited in a fresh random order each epoch
+    (``epoch`` is tracked internally per ``__iter__`` call), a
+    ``workers``-thread pool prefetches the next images' patch lists
+    while batches are served, and served batches are drawn uniformly
+    from a shuffle buffer holding ``window_images`` images' patches —
+    tf.data shuffle-buffer semantics with bounded host memory.
+
+    Deterministic given ``seed`` (worker rngs are derived per
+    (epoch, image), independent of thread scheduling).
+    """
+
+    def __init__(self, dataset, batch_size: int, window_images: int = 4,
+                 workers: int = 2, seed: int = 0, drop_last: bool = True):
+        # image "units": MSDenoiseDataset contributes one unit per
+        # (sub-dataset, image) so shuffling spans spp variants too —
+        # like the reference's DataLoader over its ConcatDataset
+        if hasattr(dataset, "datasets"):
+            self._units = [
+                (d, i)
+                for d in dataset.datasets
+                for i in range(len(d.gt_files))
+            ]
+        else:
+            assert hasattr(dataset, "load_patches"), (
+                "ShuffleLoader needs a DenoiseDataset-like dataset"
+            )
+            self._units = [
+                (dataset, i) for i in range(len(dataset.gt_files))
+            ]
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.window_images = max(1, window_images)
+        self.workers = max(1, workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @staticmethod
+    def _shape_key(item):
+        return tuple(sorted((k, v.shape) for k, v in item.items()))
+
+    def __iter__(self) -> Iterator[dict]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        epoch = self._epoch
+        self._epoch += 1
+        n_images = len(self._units)
+        order_rng = np.random.default_rng((self.seed, epoch))
+        order = order_rng.permutation(n_images)
+        draw_rng = np.random.default_rng((self.seed, epoch, 1))
+
+        # shape-partitioned shuffle buffer (multi-spp style datasets
+        # serve heterogeneous sample axes; a batch must be homogeneous)
+        buffers: dict = {}
+
+        def pop_batch(force=False):
+            key = max(buffers, key=lambda k: len(buffers[k]), default=None)
+            if key is None:
+                return None
+            pool = buffers[key]
+            if len(pool) < self.batch_size:
+                if not force or self.drop_last:
+                    return None
+            take = min(self.batch_size, len(pool))
+            idx = draw_rng.choice(len(pool), size=take, replace=False)
+            items = [pool[i] for i in idx]
+            for i in sorted(idx, reverse=True):
+                pool[i] = pool[-1]
+                pool.pop()
+            if not pool:
+                del buffers[key]
+            return {
+                k: np.stack([it[k] for it in items], axis=0)
+                for k in items[0]
+            }
+
+        with ThreadPoolExecutor(self.workers) as ex:
+            pending = []
+            next_img = 0
+
+            def submit_next():
+                nonlocal next_img
+                if next_img < n_images:
+                    unit = int(order[next_img])
+                    ds, img = self._units[unit]
+                    rng = np.random.default_rng((self.seed, epoch, 2, unit))
+                    pending.append(ex.submit(ds.load_patches, img, rng))
+                    next_img += 1
+
+            for _ in range(self.window_images):
+                submit_next()
+
+            while pending:
+                patches = pending.pop(0).result()
+                submit_next()
+                for p in patches:
+                    buffers.setdefault(self._shape_key(p), []).append(p)
+                # serve while keeping ~window_images of slack buffered
+                target = self.window_images * max(
+                    1, len(patches) // max(1, self.batch_size)
+                )
+                while True:
+                    total = sum(len(v) for v in buffers.values())
+                    if pending and total <= target * self.batch_size:
+                        break
+                    batch = pop_batch(force=not pending)
+                    if batch is None:
+                        break
+                    yield batch
+
+            while True:
+                batch = pop_batch(force=True)
+                if batch is None:
+                    break
+                yield batch

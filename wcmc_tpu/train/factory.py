@@ -47,6 +47,7 @@ class TrainConfig:
     manif_learn: bool = False
     manif_loss: str | None = None          # FMSE | GRS
     local: bool = False                    # FMSE locality flag
+    manif_pairing: str = "roll"            # roll (TPU fast path) | permutation
     disentangle: str = "m11r11"
 
     train_branches: bool = True            # KPCN
@@ -139,12 +140,39 @@ def init_interfaces(cfg: TrainConfig, args=None):
             iface = _build_lbmc(cfg, lr_pnet, pnet_out, w_manif, key, args)
         else:
             raise ValueError(cfg.base_model)
+        # expose the grid point for hyperparameter-encoded checkpoint
+        # names (reference train_kpcn.py:233-236)
+        iface.grid_params = {
+            "lr_pnet": lr_pnet, "pnet_out_size": pnet_out,
+            "w_manif": w_manif,
+        }
         out.append(iface)
     return out
 
 
+def sweep_checkpoint_name(save_dir, model_name, interfaces, i):
+    """Checkpoint filename for grid trial ``i``: the bare model name for
+    a single-point grid, else the reference's hyperparameter-encoded
+    ``<name>_lp%f_pos%d_wgt%f`` form (reference train_kpcn.py:233-236,
+    train_sbmc.py:102, train_lbmc.py:100)."""
+    import os
+
+    if len(interfaces) == 1:
+        return os.path.join(save_dir, model_name + ".ckpt")
+    gp = getattr(interfaces[i], "grid_params", None)
+    if gp is None:  # hand-built interfaces (tests) carry no grid point
+        return os.path.join(save_dir, f"{model_name}_trial{i}.ckpt")
+    return os.path.join(
+        save_dir,
+        "%s_lp%f_pos%d_wgt%f.ckpt"
+        % (model_name, gp["lr_pnet"], gp["pnet_out_size"], gp["w_manif"]),
+    )
+
+
 def _manif_loss_fn(cfg: TrainConfig):
-    return losses.make_manifold_loss(cfg.manif_loss, non_local=not cfg.local)
+    return losses.make_manifold_loss(
+        cfg.manif_loss, non_local=not cfg.local, pairing=cfg.manif_pairing
+    )
 
 
 def _build_kpcn(cfg, lr_pnet, pnet_out, w_manif, key, args):

@@ -93,12 +93,12 @@ def train(interfaces, dataloaders, params, args, verbose=True):
     not_save = getattr(args, "not_save", False)
     desc = getattr(args, "desc", "")
 
-    if len(interfaces) == 1:
-        save_fns = [model_name + ".ckpt"]
-    else:
-        save_fns = [
-            f"{model_name}_trial{i}.ckpt" for i in range(len(interfaces))
-        ]
+    from wcmc_tpu.train.factory import sweep_checkpoint_name
+
+    save_fns = [
+        os.path.basename(sweep_checkpoint_name("", model_name, interfaces, i))
+        for i in range(len(interfaces))
+    ]
 
     if getattr(args, "visual", False):
         if "metrics_writer" not in params:
