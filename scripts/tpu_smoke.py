@@ -79,6 +79,28 @@ def main():
         all_ok &= check("vjp dbuf", db, db_r)
         all_ok &= check("vjp dw ", dw, dw_r)
 
+        # softmax-fused variant (in-kernel softmax + fused softmax VJP)
+        sm_loss = lambda bb, ww: jnp.sum(
+            jnp.sin(ka.kernel_gather_softmax(bb, ww, k))
+        )
+        y_sm = jax.jit(lambda bb, ww: ka.kernel_gather_softmax(bb, ww, k))(
+            buf, 0.3 * wt
+        )
+        db, dw = jax.jit(jax.grad(sm_loss, argnums=(0, 1)))(buf, 0.3 * wt)
+        ka._FORCE_XLA = True
+        try:
+            y_r = jax.jit(
+                lambda bb, ww: ka.kernel_gather_softmax(bb, ww, k)
+            )(buf, 0.3 * wt)
+            db_r, dw_r = jax.jit(jax.grad(sm_loss, argnums=(0, 1)))(
+                buf, 0.3 * wt
+            )
+        finally:
+            ka._FORCE_XLA = ka_flag
+        all_ok &= check("sm fwd  ", y_sm, y_r)
+        all_ok &= check("sm dbuf ", db, db_r)
+        all_ok &= check("sm dlog ", dw, dw_r)
+
     # fused per-pixel MLP at the PathNet bench geometry (N = B*S*H*W)
     mf = importlib.import_module("wcmc_tpu.ops.mlp_fused")
     for n, dims, acts, cdx in [

@@ -276,3 +276,91 @@ def test_scatter_partial_final_tile_interpret():
         )
     finally:
         pk.INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# Softmax-fused kernel apply (in-kernel softmax + fused softmax VJP)
+# ---------------------------------------------------------------------------
+
+def _softmax_gather_ref(buf, logits, k):
+    return ka._gather_xla(buf, jax.nn.softmax(logits, axis=-1), k)
+
+
+def test_gather_softmax_xla_fallback_matches_reference(rng):
+    b, c = 2, 3
+    h, ow = 10, 12
+    buf = jnp.asarray(
+        rng.standard_normal((b, h + K - 1, ow + K - 1, c)).astype(np.float32)
+    )
+    logits = jnp.asarray(
+        rng.standard_normal((b, h, ow, K * K)).astype(np.float32)
+    )
+    got = ka.kernel_gather_softmax(buf, logits, K)
+    want = _softmax_gather_ref(buf, logits, K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_softmax_pallas_interpret(rng):
+    pk.INTERPRET = True
+    ka._FORCE_XLA = False
+    import wcmc_tpu.ops.mlp_fused as mf
+    mf.FORCE_PALLAS = True
+    try:
+        b, c = 2, 3
+        h, ow = 11, 12   # partial final tile (th=8)
+        buf = jnp.asarray(
+            rng.standard_normal((b, h + K - 1, ow + K - 1, c)).astype(np.float32)
+        )
+        logits = jnp.asarray(
+            rng.standard_normal((b, h, ow, K * K)).astype(np.float32)
+        )
+        got = pk.gather_tpu(buf, logits, K, softmax=True)
+        want = _softmax_gather_ref(buf, logits, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+        # scatter with in-kernel softmax
+        x = jnp.asarray(rng.standard_normal((b, h, ow, c)).astype(np.float32))
+        got_s = pk.scatter_tpu(x, logits, K, softmax=True)
+        want_s = ka._scatter_xla(x, jax.nn.softmax(logits, axis=-1), K)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        pk.INTERPRET = False
+        mf.FORCE_PALLAS = False
+
+
+def test_gather_softmax_grads_interpret(rng):
+    """Fused VJP (scatter-softmax dbuf + outer-softmax dlogits) vs jax
+    autodiff of softmax∘gather, through the Pallas kernels in
+    interpreter mode."""
+    import wcmc_tpu.ops.mlp_fused as mf
+
+    b, c = 1, 3
+    h, ow = 10, 10
+    buf = jnp.asarray(
+        rng.standard_normal((b, h + K - 1, ow + K - 1, c)).astype(np.float32)
+    )
+    logits = jnp.asarray(
+        0.5 * rng.standard_normal((b, h, ow, K * K)).astype(np.float32)
+    )
+
+    def loss_fused(bb, ll):
+        return jnp.sum(jnp.sin(ka.kernel_gather_softmax(bb, ll, K)))
+
+    def loss_ref(bb, ll):
+        return jnp.sum(jnp.sin(_softmax_gather_ref(bb, ll, K)))
+
+    pk.INTERPRET = True
+    mf.FORCE_PALLAS = True
+    try:
+        db, dl = jax.grad(loss_fused, argnums=(0, 1))(buf, logits)
+    finally:
+        pk.INTERPRET = False
+        mf.FORCE_PALLAS = False
+    db_r, dl_r = jax.grad(loss_ref, argnums=(0, 1))(buf, logits)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_r),
+                               rtol=1e-4, atol=1e-4)

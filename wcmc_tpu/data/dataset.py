@@ -611,7 +611,8 @@ class ShuffleLoader:
     """
 
     def __init__(self, dataset, batch_size: int, window_images: int = 4,
-                 workers: int = 2, seed: int = 0, drop_last: bool = True):
+                 workers: int = 2, seed: int = 0, drop_last: bool = True,
+                 max_buffer_patches: int = 256):
         # image "units": MSDenoiseDataset contributes one unit per
         # (sub-dataset, image) so shuffling spans spp variants too —
         # like the reference's DataLoader over its ConcatDataset
@@ -634,6 +635,9 @@ class ShuffleLoader:
         self.workers = max(1, workers)
         self.seed = seed
         self.drop_last = drop_last
+        # bound host memory: llpm patches are ~19 MB each, so the
+        # shuffle buffer must cap in PATCHES, not images
+        self.max_buffer_patches = max_buffer_patches
         self._epoch = 0
 
     def __len__(self):
@@ -701,12 +705,14 @@ class ShuffleLoader:
                 for p in patches:
                     buffers.setdefault(self._shape_key(p), []).append(p)
                 # serve while keeping ~window_images of slack buffered
-                target = self.window_images * max(
-                    1, len(patches) // max(1, self.batch_size)
+                # (capped so huge patches_per_image cannot blow host RAM)
+                target = min(
+                    self.window_images * max(1, len(patches)),
+                    self.max_buffer_patches,
                 )
                 while True:
                     total = sum(len(v) for v in buffers.values())
-                    if pending and total <= target * self.batch_size:
+                    if pending and total <= target:
                         break
                     batch = pop_batch(force=not pending)
                     if batch is None:

@@ -151,6 +151,41 @@ kernel_scatter.defvjp(_scatter_fwd, _scatter_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Softmax-fused variant: the per-pixel K^2 softmax (and its VJP) run
+# inside the Pallas kernels, so the probability tensor and the XLA
+# softmax reduce/divide/VJP fusions (~3 ms and 146 MB at the KPCN
+# training shape) never exist. XLA fallback composes jax.nn.softmax
+# with the shift-sum reference on other backends.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def kernel_gather_softmax(buf, logits, ksize):
+    if _on_tpu():
+        return pallas_kernels.gather_tpu(buf, logits, ksize, softmax=True)
+    return _gather_xla(buf, jax.nn.softmax(logits, axis=-1), ksize)
+
+
+def _gather_sm_fwd(buf, logits, ksize):
+    return kernel_gather_softmax(buf, logits, ksize), (buf, logits)
+
+
+def _gather_sm_bwd(ksize, res, g):
+    buf, logits = res
+    if _on_tpu():
+        dbuf = pallas_kernels.scatter_tpu(g, logits, ksize, softmax=True)
+        dlogits = pallas_kernels.outer_softmax_tpu(g, buf, logits, ksize)
+        return dbuf, dlogits
+    p = jax.nn.softmax(logits, axis=-1)
+    dbuf = _scatter_xla(g, p, ksize)
+    dp = _outer_xla(g, buf, ksize)
+    dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    return dbuf, dlogits
+
+
+kernel_gather_softmax.defvjp(_gather_sm_fwd, _gather_sm_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -165,7 +200,9 @@ def kernel_apply(buf, kernels, ksize: int, softmax: bool = True):
       (B, h, w, C) reconstruction.
     """
     if softmax:
-        kernels = jax.nn.softmax(kernels, axis=-1)
+        # fused path: softmax + its VJP computed inside the Pallas
+        # kernels (falls back to jax.nn.softmax + XLA off-TPU)
+        return kernel_gather_softmax(buf, kernels, ksize)
     return kernel_gather(buf, kernels, ksize)
 
 

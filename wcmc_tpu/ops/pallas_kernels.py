@@ -86,21 +86,44 @@ def _pad_rows(x, rows: int):
 # gather: out[p, c] = sum_d w[p, d] * buf[p + d, c]
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(buf_ref, w_ref, out_ref, *, ksize, tile_rows, out_w):
+def _softmax_stats(w_ref, ksize):
+    """Per-pixel max and 1/sum(exp) over the K^2 channel dim of the
+    (1, K^2, th, w) logits block — two passes, no scratch; the main tap
+    loop then normalizes inline with exp(w - m) * inv."""
+    k2 = ksize * ksize
+    m = w_ref[0, 0]
+    for d in range(1, k2):
+        m = jnp.maximum(m, w_ref[0, d])
+    s = jnp.zeros(m.shape, jnp.float32)
+    for d in range(k2):
+        s = s + jnp.exp(w_ref[0, d] - m)
+    return m, 1.0 / s
+
+
+def _gather_kernel(buf_ref, w_ref, out_ref, *, ksize, tile_rows, out_w,
+                   softmax=False):
     i = pl.program_id(1)
     c = buf_ref.shape[1]
+    if softmax:
+        m, inv = _softmax_stats(w_ref, ksize)
     acc = jnp.zeros((c, tile_rows, out_w), jnp.float32)
     for dy in range(ksize):
         slab = buf_ref[0, :, pl.ds(i * tile_rows + dy, tile_rows), :]
         for dx in range(ksize):
             tap = w_ref[0, dy * ksize + dx, :, :]
+            if softmax:
+                tap = jnp.exp(tap - m) * inv
             acc = acc + tap[None, :, :] * slab[:, :, dx:dx + out_w]
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("ksize",))
-def gather_tpu(buf, w, ksize):
-    """buf (B,H,W,C), w (B,h,w,K^2) -> (B,h,w,C); h = H-K+1."""
+@functools.partial(jax.jit, static_argnames=("ksize", "softmax"))
+def gather_tpu(buf, w, ksize, softmax=False):
+    """buf (B,H,W,C), w (B,h,w,K^2) -> (B,h,w,C); h = H-K+1.
+
+    With ``softmax`` the per-pixel K^2 softmax is computed in-kernel
+    from logits ``w`` (the KPCN hot path), so the 146 MB probability
+    tensor never exists in HBM."""
     b, H, W, c = buf.shape
     h, ow = H - ksize + 1, W - ksize + 1
     assert h > 0 and ow > 0, (
@@ -114,7 +137,8 @@ def gather_tpu(buf, w, ksize):
 
     out = pl.pallas_call(
         functools.partial(
-            _gather_kernel, ksize=ksize, tile_rows=th, out_w=ow
+            _gather_kernel, ksize=ksize, tile_rows=th, out_w=ow,
+            softmax=softmax,
         ),
         grid=(b, n_tiles),
         in_specs=[
@@ -136,12 +160,15 @@ def gather_tpu(buf, w, ksize):
 # scatter (splat): out[q, c] = sum_d w[q - d, d] * x[q - d, c]
 # ---------------------------------------------------------------------------
 
-def _scatter_rows_kernel(x_ref, w_ref, s_ref, *, ksize, in_w):
+def _scatter_rows_kernel(x_ref, w_ref, s_ref, *, ksize, in_w,
+                         softmax=False):
     """Row-aligned pass: s[dy, c, y, X] = sum_dx w[y, dy*K+dx] * x[y, X-dx]."""
     c = x_ref.shape[1]
     th = x_ref.shape[2]
     out_w = in_w + ksize - 1
     x_slab = x_ref[0]                     # (C, TH, in_w)
+    if softmax:
+        m, inv = _softmax_stats(w_ref, ksize)
     zero_pad = jnp.zeros((c, th, ksize - 1), jnp.float32)
     for dy in range(ksize):
         # Accumulate x-shifted taps; lane shifts are expressed as
@@ -149,6 +176,8 @@ def _scatter_rows_kernel(x_ref, w_ref, s_ref, *, ksize, in_w):
         acc = jnp.zeros((c, th, out_w), jnp.float32)
         for dx in range(ksize):
             tap = w_ref[0, dy * ksize + dx, :, :]       # (TH, in_w)
+            if softmax:
+                tap = jnp.exp(tap - m) * inv
             contrib = tap[None, :, :] * x_slab          # (C, TH, in_w)
             parts = []
             if dx > 0:
@@ -161,9 +190,12 @@ def _scatter_rows_kernel(x_ref, w_ref, s_ref, *, ksize, in_w):
         s_ref[0, dy] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("ksize",))
-def scatter_tpu(x, w, ksize):
-    """x (B,h,w,C), w (B,h,w,K^2) -> (B,H,W,C); H = h+K-1."""
+@functools.partial(jax.jit, static_argnames=("ksize", "softmax"))
+def scatter_tpu(x, w, ksize, softmax=False):
+    """x (B,h,w,C), w (B,h,w,K^2) -> (B,H,W,C); H = h+K-1.
+
+    ``softmax`` normalizes the K^2 logits per pixel in-kernel (used by
+    the softmax-fused gather's buffer VJP)."""
     b, h, iw, c = x.shape
     H, W = h + ksize - 1, iw + ksize - 1
     th = _scatter_tile_rows(h, iw, ksize, c)
@@ -174,7 +206,8 @@ def scatter_tpu(x, w, ksize):
     w_t = _to_cmajor(w).astype(jnp.float32)
 
     s = pl.pallas_call(
-        functools.partial(_scatter_rows_kernel, ksize=ksize, in_w=iw),
+        functools.partial(_scatter_rows_kernel, ksize=ksize, in_w=iw,
+                          softmax=softmax),
         grid=(b, pl.cdiv(h, th)),
         in_specs=[
             pl.BlockSpec((1, c, th, iw), lambda bi, i: (bi, 0, i, 0),
@@ -211,6 +244,32 @@ def _outer_kernel(g_ref, buf_ref, dw_ref, *, ksize, tile_rows, out_w):
             dw_ref[0, dy * ksize + dx] = jnp.sum(prod, axis=0)
 
 
+def _outer_softmax_kernel(g_ref, buf_ref, w_ref, dw_ref, *, ksize,
+                          tile_rows, out_w):
+    """Fused (outer + softmax VJP): emits d(logits) directly.
+
+    dp[d] = sum_c g * buf_{+d};  p = softmax(w);
+    dlogits[d] = p[d] * (dp[d] - sum_e p[e] dp[e]).
+
+    The raw dp values are staged in the OUTPUT block (already VMEM-
+    resident) during the first tap pass, then normalized in a second
+    pass — no extra scratch."""
+    i = pl.program_id(1)
+    g_slab = g_ref[0, :, pl.ds(i * tile_rows, tile_rows), :out_w]
+    m, inv = _softmax_stats(w_ref, ksize)
+    dot = jnp.zeros(m.shape, jnp.float32)
+    for dy in range(ksize):
+        slab = buf_ref[0, :, pl.ds(i * tile_rows + dy, tile_rows), :]
+        for dx in range(ksize):
+            d = dy * ksize + dx
+            dp = jnp.sum(g_slab * slab[:, :, dx:dx + out_w], axis=0)
+            dw_ref[0, d] = dp
+            dot = dot + jnp.exp(w_ref[0, d] - m) * inv * dp
+    for d in range(ksize * ksize):
+        p_d = jnp.exp(w_ref[0, d] - m) * inv
+        dw_ref[0, d] = p_d * (dw_ref[0, d] - dot)
+
+
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def outer_tpu(g, buf, ksize):
     """g (B,h,w,C), buf (B,H,W,C) -> (B,h,w,K^2)."""
@@ -238,4 +297,40 @@ def outer_tpu(g, buf, ksize):
         out_shape=jax.ShapeDtypeStruct((b, ksize * ksize, h, ow), jnp.float32),
         interpret=INTERPRET,
     )(g_t, buf_t)
+    return _to_nhwc(dw).astype(g.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def outer_softmax_tpu(g, buf, w, ksize):
+    """Fused softmax-VJP outer: g (B,h,w,C), buf (B,H,W,C), logits
+    w (B,h,w,K^2) -> d(logits) (B,h,w,K^2)."""
+    b, h, ow, c = g.shape
+    H, W = buf.shape[1], buf.shape[2]
+    th = _tile_rows(h)
+    n_tiles = -(-h // th)
+    hp = n_tiles * th
+    Hp = hp + ksize - 1
+    g_t = _pad_rows(_to_cmajor(g).astype(jnp.float32), hp)
+    buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
+    w_t = _to_cmajor(w).astype(jnp.float32)
+
+    dw = pl.pallas_call(
+        functools.partial(_outer_softmax_kernel, ksize=ksize, tile_rows=th,
+                          out_w=ow),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, hp, ow), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, Hp, W), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ksize * ksize, th, ow),
+                         lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ksize * ksize, th, ow),
+                               lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ksize * ksize, h, ow), jnp.float32),
+        interpret=INTERPRET,
+    )(g_t, buf_t, w_t)
     return _to_nhwc(dw).astype(g.dtype)
