@@ -24,7 +24,7 @@ from typing import Callable
 import flax.linen as nn
 import jax.numpy as jnp
 
-from wcmc_tpu.models.blocks import ConvChain, UNet
+from wcmc_tpu.models.blocks import PixelMLP, UNet
 from wcmc_tpu.ops.kernel_apply import kernel_apply
 
 
@@ -56,11 +56,11 @@ class LayerNet(nn.Module):
         flat = jnp.concatenate(
             [features, tm_rad], axis=-1
         ).reshape(b * s, h, w, f + 3)
-        emb = ConvChain(
-            self.embed_width, width=self.embed_width, depth=3, ksize=1,
-            pad=False, output_type="leaky_relu",
-            hidden_activation="leaky_relu", dtype=self.dtype,
-            name="embedding",
+        # fused per-pixel chain (ops/mlp_fused.py); features are data,
+        # so the backward kernel skips d(input)
+        emb = PixelMLP(
+            (self.embed_width,) * 3, ("leaky_relu",) * 3,
+            compute_dx=False, dtype=self.dtype, name="embedding",
         )(flat)
         layer_logits = nn.Conv(
             self.num_layers, (1, 1), dtype=self.dtype, name="layer_head"

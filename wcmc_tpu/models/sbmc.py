@@ -18,7 +18,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from wcmc_tpu.models.blocks import ConvChain, UNet
+from wcmc_tpu.models.blocks import UNet
 from wcmc_tpu.ops.splat import splat_normalized
 
 
@@ -32,40 +32,63 @@ class Multisteps(nn.Module):
     # sample-context means and splat normalization become collectives
     sample_axis_name: str | None = None
 
+    def _chain_params(self, name, dims):
+        ws, bs = [], []
+        for i, (ci, co) in enumerate(zip(dims[:-1], dims[1:])):
+            ws.append(self.param(
+                f"{name}_w{i}", nn.initializers.lecun_normal(), (ci, co)
+            ))
+            bs.append(self.param(
+                f"{name}_b{i}", nn.initializers.zeros, (co,)
+            ))
+        return ws, bs
+
     @nn.compact
     def __call__(self, batch: dict) -> jnp.ndarray:
+        import jax
+
+        from wcmc_tpu.ops.pathnet_fused import pathnet_embed, pathnet_head
+
         radiance = batch["radiance"]
         features = batch["features"]
         b, s, h, w, f = features.shape
         assert f == self.n_in, f"Multisteps expects {self.n_in} channels, got {f}"
 
-        x = features.reshape(b * s, h, w, f)
-        x = ConvChain(
-            self.width, width=self.width, depth=3, ksize=1, pad=False,
-            output_type="leaky_relu", hidden_activation="leaky_relu",
-            dtype=self.dtype, name="embedding",
-        )(x)
+        wd = self.width
+        leaky = ("leaky_relu",) * 3
+        cdtype = self.dtype if self.dtype is not None else jnp.float32
+
+        # fused per-sample embedding + first context mean
+        # (ops/pathnet_fused.py — hidden activations stay in VMEM)
+        xf = features.reshape(b, s, h * w, f).astype(cdtype)
+        ws_e, bs_e = self._chain_params("embedding", (f, wd, wd, wd))
+        x, mean = pathnet_embed(xf, ws_e, bs_e, leaky)
 
         for step in range(self.n_steps):
-            ctx = x.reshape(b, s, h, w, self.width).mean(axis=1)
+            ctx = mean.reshape(b, h, w, wd)
             if self.sample_axis_name is not None:
-                import jax
-
                 ctx = jax.lax.pmean(ctx, self.sample_axis_name)
             ctx = UNet(
                 self.width, num_levels=3, increase_factor=2.0, num_convs=3,
                 width=self.width, ksize=3, output_type="leaky_relu",
                 pooling="max", dtype=self.dtype, name=f"propagation_{step}",
-            )(ctx)
-            ctx = jnp.broadcast_to(
-                ctx[:, None], (b, s, h, w, self.width)
-            ).reshape(b * s, h, w, self.width)
-            x = ConvChain(
-                self.width, width=self.width, depth=2, ksize=1, pad=False,
-                output_type="leaky_relu", hidden_activation="leaky_relu",
-                dtype=self.dtype, name=f"update_{step}",
-            )(jnp.concatenate([x.astype(ctx.dtype), ctx], axis=-1))
+            )(ctx.astype(cdtype))
+            # fused update chain over [x | broadcast_S(ctx)]; the next
+            # step's sample mean comes out of the same kernel
+            ws_u, bs_u = self._chain_params(
+                f"update_{step}", (2 * wd, wd, wd)
+            )
+            ctx_flat = ctx.reshape(b, h * w, wd).astype(jnp.float32)
+            last = step == self.n_steps - 1
+            if last:
+                x = pathnet_head(x, ctx_flat, ws_u, bs_u, leaky[:2],
+                                 False, cdtype)
+            else:
+                x, ssum, _ = pathnet_head(x, ctx_flat, ws_u, bs_u,
+                                          leaky[:2], True, cdtype)
+                mean = ssum / s
 
+        x = x.reshape(b * s, h, w, wd)
         logits = nn.Conv(
             self.ksize**2, (1, 1), dtype=self.dtype, name="kernel_head"
         )(x).astype(jnp.float32)

@@ -409,7 +409,7 @@ def _head_split_w1(ws, ce):
     return w1[:ce], w1[ce:]
 
 
-def _head_fwd_pallas(e, ctx, ws, bs, acts, moments):
+def _head_fwd_pallas(e, ctx, ws, bs, acts, moments, out_dtype):
     b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
     ep = _pad_rows(e, hwp)
     ctxp = _pad_rows(ctx, hwp).astype(e.dtype)
@@ -432,7 +432,7 @@ def _head_fwd_pallas(e, ctx, ws, bs, acts, moments):
     out_specs = [pl.BlockSpec((1, 1, tr, c_out),
                               lambda bi, ti, si: (bi, si, ti, 0),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((b, s, hwp, c_out), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((b, s, hwp, c_out), out_dtype)]
     if moments:
         mom_spec = pl.BlockSpec((1, tr, c_out),
                                 lambda bi, ti, si: (bi, ti, 0),
@@ -455,7 +455,7 @@ def _head_fwd_pallas(e, ctx, ws, bs, acts, moments):
     return outs[:, :, :hw]
 
 
-def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):
+def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):  # noqa: E501
     b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
     ep = _pad_rows(e, hwp)
     ctxp = _pad_rows(ctx, hwp)
@@ -533,7 +533,7 @@ def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):
     return de, dctx, dws, dbs
 
 
-def _head_xla(e, ctx, ws, bs, acts, moments=False):
+def _head_xla(e, ctx, ws, bs, acts, moments=False, out_dtype=jnp.float32):
     b, s, hw, ce = e.shape
     joint = jnp.concatenate(
         [e, jnp.broadcast_to(
@@ -543,14 +543,15 @@ def _head_xla(e, ctx, ws, bs, acts, moments=False):
     )
     out = _mlp_xla(joint.reshape(-1, joint.shape[-1]), list(ws), list(bs),
                    acts)
-    out = out.reshape(b, s, hw, ws[-1].shape[1]).astype(jnp.float32)
+    out = out.reshape(b, s, hw, ws[-1].shape[1]).astype(out_dtype)
     if moments:
-        return out, jnp.sum(out, axis=1), jnp.sum(out * out, axis=1)
+        out32 = out.astype(jnp.float32)
+        return out, jnp.sum(out32, axis=1), jnp.sum(out32 * out32, axis=1)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def pathnet_head(e, ctx, ws, bs, acts, moments=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def pathnet_head(e, ctx, ws, bs, acts, moments=False, out_dtype=jnp.float32):
     """Head chain over [e | broadcast_S(ctx)] without materializing the
     concat. e (B,S,HW,Ce) in compute dtype; ctx (B,HW,Cc) f32;
     ws[0] has shape (Ce+Cc, C1). Returns (B,S,HW,Cout) f32, or with
@@ -559,16 +560,16 @@ def pathnet_head(e, ctx, ws, bs, acts, moments=False):
     mean/variance without an XLA reduce over the sample axis)."""
     if _on_tpu():
         return _head_fwd_pallas(e, ctx, list(ws), list(bs), tuple(acts),
-                                moments)
-    return _head_xla(e, ctx, ws, bs, tuple(acts), moments)
+                                moments, out_dtype)
+    return _head_xla(e, ctx, ws, bs, tuple(acts), moments, out_dtype)
 
 
-def _ph_fwd(e, ctx, ws, bs, acts, moments):
-    out = pathnet_head(e, ctx, ws, bs, acts, moments)
+def _ph_fwd(e, ctx, ws, bs, acts, moments, out_dtype):
+    out = pathnet_head(e, ctx, ws, bs, acts, moments, out_dtype)
     return out, (e, ctx, list(ws), list(bs))
 
 
-def _ph_bwd(acts, moments, res, g):
+def _ph_bwd(acts, moments, out_dtype, res, g):
     e, ctx, ws, bs = res
     if moments:
         g_out, g_sum, g_sq = g
@@ -580,7 +581,8 @@ def _ph_bwd(acts, moments, res, g):
         )
     else:
         def f(e_, ctx_, ws_, bs_):
-            return _head_xla(e_, ctx_, ws_, bs_, tuple(acts), moments)
+            return _head_xla(e_, ctx_, ws_, bs_, tuple(acts), moments,
+                             out_dtype)
 
         _, vjp = jax.vjp(f, e, ctx, ws, bs)
         de, dctx, dws, dbs = vjp(g)
