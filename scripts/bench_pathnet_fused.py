@@ -68,7 +68,8 @@ for tile in (512, 1024, 2048, 4096):
     pf._HEAD_TILE = tile
     try:
         f = timeit(lambda s, ee: pf._head_fwd_pallas(
-            ee, ctx, [ws_h[0] + s, ws_h[1]], bs_h, ACTS_H, True), e)
+            ee, ctx, [ws_h[0] + s, ws_h[1]], bs_h, ACTS_H, True,
+            jnp.float32), e)
         b_ = timeit(lambda s, ee: pf._head_bwd_pallas(
             ee, ctx, g, gs, gs, [ws_h[0] + s, ws_h[1]], bs_h, ACTS_H, True),
             e)

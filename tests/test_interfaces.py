@@ -1,6 +1,7 @@
 """Integration: one train + validate step per interface on synthetic data
 (the reference's BASELINE configs, scaled down for CPU)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -178,3 +179,32 @@ def test_config_validation_rules():
             base_model="kpcn", use_llpm_buf=True, manif_learn=True,
             manif_loss="FMSE", disentangle="m10r01", pnet_out_size=(3,),
         ).validate()
+
+
+@pytest.mark.parametrize("base", ["sbmc", "lbmc"])
+def test_backbone_receives_recon_gradient(base):
+    """With use_llpm_buf and NO manifold loss, the PathNet backbone must
+    still receive gradient through the denoiser's features input (the
+    fused embedding kernels must propagate d(input) — regression for a
+    round-2 compute_dx=False bug that silently froze the backbone)."""
+    import jax.numpy as jnp
+
+    cfg = TrainConfig(base_model=base, sbmc_ksize=5, use_llpm_buf=True,
+                      manif_learn=False, finite_check_every=1)
+    iface = init_interfaces(cfg)[0]
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, base, batch_size=2, patch=16, spp=2,
+                            use_llpm_buf=True)
+    iface.preprocess(batch)
+    before = jax.tree_util.tree_leaves(iface.states["backbone"].params)
+    before = [np.asarray(x).copy() for x in before]
+    for _ in range(2):
+        iface.train_batch(batch)
+    after = jax.tree_util.tree_leaves(iface.states["backbone"].params)
+    delta = sum(
+        float(jnp.sum(jnp.abs(jnp.asarray(a) - jnp.asarray(b))))
+        for a, b in zip(after, before)
+    )
+    assert delta > 0, (
+        f"{base} backbone params did not move under the recon loss"
+    )

@@ -56,11 +56,12 @@ class LayerNet(nn.Module):
         flat = jnp.concatenate(
             [features, tm_rad], axis=-1
         ).reshape(b * s, h, w, f + 3)
-        # fused per-pixel chain (ops/mlp_fused.py); features are data,
-        # so the backward kernel skips d(input)
+        # fused per-pixel chain (ops/mlp_fused.py); compute_dx=True:
+        # under use_llpm_buf the features embed the LEARNED p-buffer,
+        # so d(input) must flow back to the backbone
         emb = PixelMLP(
             (self.embed_width,) * 3, ("leaky_relu",) * 3,
-            compute_dx=False, dtype=self.dtype, name="embedding",
+            compute_dx=True, dtype=self.dtype, name="embedding",
         )(flat)
         layer_logits = nn.Conv(
             self.num_layers, (1, 1), dtype=self.dtype, name="layer_head"

@@ -62,7 +62,9 @@ class Multisteps(nn.Module):
         # (ops/pathnet_fused.py — hidden activations stay in VMEM)
         xf = features.reshape(b, s, h * w, f).astype(cdtype)
         ws_e, bs_e = self._chain_params("embedding", (f, wd, wd, wd))
-        x, mean = pathnet_embed(xf, ws_e, bs_e, leaky)
+        # compute_dx=True: under use_llpm_buf the features embed the
+        # LEARNED p-buffer, so d(features) must flow to the backbone
+        x, mean = pathnet_embed(xf, ws_e, bs_e, leaky, True)
 
         for step in range(self.n_steps):
             ctx = mean.reshape(b, h, w, wd)

@@ -84,6 +84,12 @@ _FORCE_XLA = False  # test hook
 def _on_tpu():
     if _FORCE_XLA:
         return False
+    import importlib
+
+    # test hook shared with the fused-MLP ops: FORCE_PALLAS exercises
+    # the Pallas dispatch (interpret mode) on any backend
+    if importlib.import_module("wcmc_tpu.ops.mlp_fused").FORCE_PALLAS:
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:  # backend not initialized

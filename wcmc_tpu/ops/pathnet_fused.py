@@ -85,11 +85,15 @@ def _embed_fwd_kernel(x_ref, *refs, acts, n_samples):
         mean_ref[0] += contrib
 
 
-def _embed_bwd_kernel(x_ref, ge_ref, gm_ref, *refs, acts, n_samples):
+def _embed_bwd_kernel(x_ref, ge_ref, gm_ref, *refs, acts, n_samples,
+                      compute_dx):
     n_layers = len(acts)
     w_refs = [refs[2 * i] for i in range(n_layers)]
     b_refs = [refs[2 * i + 1] for i in range(n_layers)]
     outs = refs[2 * n_layers:]
+    dx_ref = None
+    if compute_dx:
+        dx_ref, outs = outs[0], outs[1:]
     dw_refs = [outs[2 * i] for i in range(n_layers)]
     db_refs = [outs[2 * i + 1] for i in range(n_layers)]
     first = jnp.logical_and(
@@ -125,11 +129,13 @@ def _embed_bwd_kernel(x_ref, ge_ref, gm_ref, *refs, acts, n_samples):
             dw_refs[i][...] += dw
             db_refs[i][...] += db
 
-        if i > 0:
+        if i > 0 or compute_dx:
             g = jax.lax.dot_general(
                 gz_c, w_refs[i][...], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+    if compute_dx:
+        dx_ref[0, 0] = g.astype(dx_ref.dtype)
 
 
 def _embed_geometry(x):
@@ -172,7 +178,7 @@ def _embed_fwd_pallas(x, ws, bs, acts):
     return e[:, :, :hw], mean[:, :hw]
 
 
-def _embed_bwd_pallas(x, ge, gmean, ws, bs, acts):
+def _embed_bwd_pallas(x, ge, gmean, ws, bs, acts, compute_dx):
     b, s, hw, c0, tr, n_tiles, hwp = _embed_geometry(x)
     xp = _pad_rows(x, hwp)
     gep = _pad_rows(ge.astype(x.dtype), hwp)
@@ -193,6 +199,12 @@ def _embed_bwd_pallas(x, ge, gmean, ws, bs, acts):
         in_specs += [_full(w.shape), _full(bb.shape)]
 
     out_specs, out_shapes = [], []
+    if compute_dx:
+        out_specs.append(
+            pl.BlockSpec((1, 1, tr, c0), lambda bi, ti, si: (bi, si, ti, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b, s, hwp, c0), x.dtype))
     for w, bb in zip(ws, bs):
         out_specs += [_full(w.shape), _full((1, bb.shape[-1]))]
         out_shapes += [
@@ -201,16 +213,21 @@ def _embed_bwd_pallas(x, ge, gmean, ws, bs, acts):
         ]
 
     outs = pl.pallas_call(
-        functools.partial(_embed_bwd_kernel, acts=acts, n_samples=s),
+        functools.partial(_embed_bwd_kernel, acts=acts, n_samples=s,
+                          compute_dx=compute_dx),
         grid=(b, n_tiles, s),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_pk.INTERPRET,
     )(xp, gep, gmp, *[t for pair in zip(wcast, bcast) for t in pair])
+    dx = None
+    if compute_dx:
+        dx = outs[0][:, :, :hw]
+        outs = outs[1:]
     dws = [outs[2 * i] for i in range(len(ws))]
     dbs = [outs[2 * i + 1].reshape(bs[i].shape) for i in range(len(ws))]
-    return dws, dbs
+    return dx, dws, dbs
 
 
 def _embed_xla(x, ws, bs, acts):
@@ -228,31 +245,41 @@ def _on_tpu():
     return importlib.import_module("wcmc_tpu.ops.kernel_apply")._on_tpu()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def pathnet_embed(x, ws, bs, acts):
-    """(B, S, HW, C0) paths -> (e (B,S,HW,Cout) in x.dtype,
-    mean_S(e) (B,HW,Cout) f32). No gradient w.r.t. x (paths are data)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pathnet_embed(x, ws, bs, acts, compute_dx=False):
+    """(B, S, HW, C0) rows -> (e (B,S,HW,Cout) in x.dtype,
+    mean_S(e) (B,HW,Cout) f32).
+
+    ``compute_dx=False`` (the KPCN PathNet case: raw path descriptors
+    are data) skips the d(input) output in the backward kernel; it MUST
+    be True whenever the input carries gradients — e.g. SBMC/LBMC
+    features that embed the learned p-buffer under use_llpm_buf."""
     if _on_tpu():
         return _embed_fwd_pallas(x, list(ws), list(bs), tuple(acts))
     return _embed_xla(x, ws, bs, tuple(acts))
 
 
-def _pe_fwd(x, ws, bs, acts):
-    return pathnet_embed(x, ws, bs, acts), (x, list(ws), list(bs))
+def _pe_fwd(x, ws, bs, acts, compute_dx):
+    return pathnet_embed(x, ws, bs, acts, compute_dx), (x, list(ws), list(bs))
 
 
-def _pe_bwd(acts, res, gs):
+def _pe_bwd(acts, compute_dx, res, gs):
     x, ws, bs = res
     ge, gmean = gs
     if _on_tpu():
-        dws, dbs = _embed_bwd_pallas(x, ge, gmean, ws, bs, tuple(acts))
+        dx, dws, dbs = _embed_bwd_pallas(x, ge, gmean, ws, bs, tuple(acts),
+                                         compute_dx)
     else:
-        def f(ws_, bs_):
-            return _embed_xla(x, ws_, bs_, tuple(acts))
+        def f(x_, ws_, bs_):
+            return _embed_xla(x_, ws_, bs_, tuple(acts))
 
-        _, vjp = jax.vjp(f, ws, bs)
-        dws, dbs = vjp((ge, gmean))
-    return jnp.zeros_like(x), dws, dbs
+        _, vjp = jax.vjp(f, x, ws, bs)
+        dx, dws, dbs = vjp((ge, gmean))
+        if not compute_dx:
+            dx = None
+    if dx is None:
+        dx = jnp.zeros_like(x)
+    return dx, dws, dbs
 
 
 pathnet_embed.defvjp(_pe_fwd, _pe_bwd)

@@ -38,7 +38,9 @@ def train_epoch(epoch, interfaces, dataloaders, params, args, verbose=True):
         iface.to_train_mode()
     writer = params.get("metrics_writer")
     timer = params.setdefault("step_timer", _new_timer())
+    n_batches = 0
     for batch in dataloaders["train"]:
+        n_batches += 1
         for iface in interfaces:
             iface.preprocess(batch)
             loss_dict = iface.train_batch(batch)
@@ -48,7 +50,10 @@ def train_epoch(epoch, interfaces, dataloaders, params, args, verbose=True):
                 writer.log(iface.iters, {"step_ms": timer.mean_ms}, prefix="perf/")
     if verbose:
         for iface in interfaces:
-            iface.get_epoch_summary(mode="train", norm=len(dataloaders["train"]))
+            # normalize by batches actually SERVED: shape-partitioned
+            # drop_last (ShuffleLoader over multi-spp data) can yield
+            # fewer batches than len(dataloader) predicts
+            iface.get_epoch_summary(mode="train", norm=max(n_batches, 1))
         if timer.mean_ms == timer.mean_ms:  # not NaN
             print(f"[][] Mean step time: {timer.mean_ms:.1f} ms")
 
