@@ -331,3 +331,23 @@ def test_native_ssim_vs_brute_force():
     got = float(M.SSIM(im, ref))
     want = 1.0 - _stub_ssim(im, ref, multichannel=True)
     assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+def test_kpcn_targets_parity(raw_sample):
+    """GT target transform (albedo-factored diffuse, log specular)
+    vs the reference formulation at datasets.py:1119-1126. The repo
+    clamps log1p's argument at -0.9999 — identical whenever
+    total >= diffuse - 1 (always true for physical GT)."""
+    from wcmc_tpu.data.preprocess import kpcn_targets
+
+    _, gt = raw_sample
+    total, diffuse, albedo = gt[..., 0:3], gt[..., 3:6], gt[..., 6:]
+    want_diffuse = diffuse / (albedo + 0.00316)
+    want_specular = np.log(1 + total - diffuse)
+    got = kpcn_targets(gt)
+    np.testing.assert_allclose(np.asarray(got["target_diffuse"]),
+                               want_diffuse, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["target_specular"]),
+                               want_specular, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["target_total"]), total,
+                               rtol=1e-6, atol=0)
