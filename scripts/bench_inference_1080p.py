@@ -51,13 +51,50 @@ def main():
     print(f"frame {ds.orig_h}x{ds.orig_w} -> padded {ds.h}x{ds.w}, "
           f"{len(ds)} tiles", flush=True)
 
+    if "--device" in sys.argv:
+        # Device-side projection: chain the jitted val step over ONE
+        # resident tile batch (wall time here is axon-tunnel-bound,
+        # ~6 MB/s uploads — meaningless for a real TPU-VM with PCIe
+        # DMA; see CLAUDE.md).
+        import jax
+        import jax.numpy as jnp
+
+        batch = {
+            k: jnp.asarray(np.stack([ds[i][0][k] for i in range(8)]))
+            for k in ds[0][0]
+        }
+        val = iface._make_val_step()
+        states = iface.states
+
+        @jax.jit
+        def chained(n):
+            def body(i, acc):
+                rad, _, _ = val(states, batch)
+                return acc + jnp.sum(rad) * 1e-30
+            import jax.lax as lax
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(chained(3))
+        n = 30
+        t0 = time.time()
+        float(chained(n))
+        per_batch = (time.time() - t0 - 0.035) / n
+        n_batches = -(-len(ds) // 8)
+        frame_s = per_batch * n_batches
+        mpix = ds.orig_h * ds.orig_w / 1e6
+        print(f"device-side: {per_batch*1e3:.1f} ms/8-tile batch x "
+              f"{n_batches} batches -> {frame_s*1e3:.0f} ms/frame "
+              f"({mpix/frame_s:.1f} MP/s/chip)", flush=True)
+        return
+
     # warm-up (compile)
     out, _, dt = evaluate.inference(iface, ds, batch_size=8)
     print(f"first pass (incl. compile): {dt:.1f}s", flush=True)
     out, _, dt = evaluate.inference(iface, ds, batch_size=8)
     mpix = ds.orig_h * ds.orig_w / 1e6
     print(f"1080p tiled KPCN inference: {dt*1e3:.0f} ms "
-          f"-> {mpix/dt:.1f} MP/s/chip", flush=True)
+          f"-> {mpix/dt:.1f} MP/s/chip (wall; tunnel-bound on this box)",
+          flush=True)
 
 
 if __name__ == "__main__":
