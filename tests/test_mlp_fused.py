@@ -380,3 +380,49 @@ def test_interface_moments_match_direct(rng):
         np.asarray(net_batch["kpcn_diffuse_in"]), np.asarray(want),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_interface_moments_match_direct_disentangled(rng):
+    """Same as above but with the m10r01 disentangle split (recon is a
+    channel SLICE of the p-buffer) and the validation path, covering
+    the moments channel-slicing logic."""
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from wcmc_tpu.data.batches import synthetic_batch
+    from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+    from wcmc_tpu.train.interfaces import p_buffer_variance, split_disentangle
+
+    cfg = TrainConfig(base_model="kpcn", kpcn_ksize=5, use_llpm_buf=True,
+                      manif_learn=True, manif_loss="FMSE",
+                      disentangle="m10r01", pnet_out_size=(4,),
+                      finite_check_every=1)
+    iface = init_interfaces(cfg)[0]
+    batch = synthetic_batch(np.random.default_rng(5), "kpcn", batch_size=2,
+                            patch=32, spp=2, use_llpm_buf=True)
+    iface.preprocess(batch)
+    params = {n: iface.states[n].params for n in iface.states}
+
+    # train path
+    net_batch, manif = iface._forward_with_paths(params, batch)
+    p_d, p_s = iface._dual_pathnet(params, batch)
+    manif_d, recon_d = split_disentangle(p_d, "m10r01")
+    want = jnp.concatenate(
+        [batch["kpcn_diffuse_in"], recon_d.mean(axis=1),
+         p_buffer_variance(recon_d)], axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(net_batch["kpcn_diffuse_in"]), np.asarray(want),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(manif["diffuse"]),
+                               np.asarray(manif_d), rtol=1e-5, atol=1e-6)
+
+    # val path: p-buffers sliced to the recon half, moments likewise
+    val = iface._make_val_step()
+    out, p_buffers, _ = val(iface.states, batch)
+    c = p_d.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(p_buffers["diffuse"]), np.asarray(p_d[..., :c // 2]),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert np.isfinite(np.asarray(out)).all()
