@@ -69,8 +69,12 @@ def main():
         @jax.jit
         def chained(n):
             def body(i, acc):
-                rad, _, _ = val(states, batch)
-                return acc + jnp.sum(rad) * 1e-30
+                # thread the carry through an input so the loop body
+                # cannot be hoisted as loop-invariant
+                b2 = dict(batch)
+                b2["kpcn_diffuse_in"] = b2["kpcn_diffuse_in"] + acc * 1e-30
+                rad, _, _ = val(states, b2)
+                return jnp.sum(rad) * 1e-30
             import jax.lax as lax
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
