@@ -28,6 +28,9 @@ GEOMETRIES = [
     (8, 72, 72, 21),     # full-frame eval tile (pad 32 / stride 64)
     (8, 116, 116, 13),   # LBMC K=13
     (2, 124, 124, 5),    # K=5 smoke config
+    (2, 128, 128, 21),   # SBMC splat geometry: buffer row > 128 lanes
+                         # (regression: unaligned sublane slices fail
+                         # once a row spans two lane tiles)
 ]
 
 

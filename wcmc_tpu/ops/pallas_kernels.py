@@ -100,6 +100,17 @@ def _softmax_stats(w_ref, ksize):
     return m, 1.0 / s
 
 
+def _aligned_dy_slab(ref, i, tile_rows, dy):
+    """Row slab [i*tile_rows + dy : +tile_rows] via an 8-aligned dynamic
+    load plus a static sub-slice. Mosaic rejects dynamic sublane offsets
+    that are not provably multiples of 8 once a row spans more than one
+    128-lane tile (W > 128), so the unaligned part of the offset must be
+    static."""
+    base, off = (dy // 8) * 8, dy % 8
+    slab = ref[0, :, pl.ds(i * tile_rows + base, tile_rows + 8), :]
+    return slab[:, off:off + tile_rows, :]
+
+
 def _gather_kernel(buf_ref, w_ref, out_ref, *, ksize, tile_rows, out_w,
                    softmax=False):
     i = pl.program_id(1)
@@ -108,7 +119,7 @@ def _gather_kernel(buf_ref, w_ref, out_ref, *, ksize, tile_rows, out_w,
         m, inv = _softmax_stats(w_ref, ksize)
     acc = jnp.zeros((c, tile_rows, out_w), jnp.float32)
     for dy in range(ksize):
-        slab = buf_ref[0, :, pl.ds(i * tile_rows + dy, tile_rows), :]
+        slab = _aligned_dy_slab(buf_ref, i, tile_rows, dy)
         for dx in range(ksize):
             tap = w_ref[0, dy * ksize + dx, :, :]
             if softmax:
@@ -131,7 +142,9 @@ def gather_tpu(buf, w, ksize, softmax=False):
     )
     th = _tile_rows(h)
     n_tiles = -(-h // th)
-    Hp = n_tiles * th + ksize - 1
+    # +8 beyond the kernel halo: _aligned_dy_slab over-reads up to 8
+    # rows past i*th + (ksize-1)
+    Hp = n_tiles * th + ((ksize - 1) // 8) * 8 + 8
     buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
     w_t = _to_cmajor(w).astype(jnp.float32)
 
@@ -238,7 +251,7 @@ def _outer_kernel(g_ref, buf_ref, dw_ref, *, ksize, tile_rows, out_w):
     i = pl.program_id(1)
     g_slab = g_ref[0, :, pl.ds(i * tile_rows, tile_rows), :out_w]  # (C,TH,ow)
     for dy in range(ksize):
-        slab = buf_ref[0, :, pl.ds(i * tile_rows + dy, tile_rows), :]
+        slab = _aligned_dy_slab(buf_ref, i, tile_rows, dy)
         for dx in range(ksize):
             prod = g_slab * slab[:, :, dx:dx + out_w]
             dw_ref[0, dy * ksize + dx] = jnp.sum(prod, axis=0)
@@ -259,7 +272,7 @@ def _outer_softmax_kernel(g_ref, buf_ref, w_ref, dw_ref, *, ksize,
     m, inv = _softmax_stats(w_ref, ksize)
     dot = jnp.zeros(m.shape, jnp.float32)
     for dy in range(ksize):
-        slab = buf_ref[0, :, pl.ds(i * tile_rows + dy, tile_rows), :]
+        slab = _aligned_dy_slab(buf_ref, i, tile_rows, dy)
         for dx in range(ksize):
             d = dy * ksize + dx
             dp = jnp.sum(g_slab * slab[:, :, dx:dx + out_w], axis=0)
@@ -278,7 +291,7 @@ def outer_tpu(g, buf, ksize):
     th = _tile_rows(h)
     n_tiles = -(-h // th)
     hp = n_tiles * th
-    Hp = hp + ksize - 1
+    Hp = hp + ((ksize - 1) // 8) * 8 + 8
     g_t = _pad_rows(_to_cmajor(g).astype(jnp.float32), hp)
     buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
 
@@ -309,7 +322,7 @@ def outer_softmax_tpu(g, buf, w, ksize):
     th = _tile_rows(h)
     n_tiles = -(-h // th)
     hp = n_tiles * th
-    Hp = hp + ksize - 1
+    Hp = hp + ((ksize - 1) // 8) * 8 + 8
     g_t = _pad_rows(_to_cmajor(g).astype(jnp.float32), hp)
     buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
     w_t = _to_cmajor(w).astype(jnp.float32)

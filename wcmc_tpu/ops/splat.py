@@ -49,9 +49,14 @@ def splat_normalized(values, weights, ksize: int, eps: float = 1e-8,
     b, s, h, w, c = values.shape
     v = values.reshape(b * s, h, w, c)
     wt = weights.reshape(b * s, h, w, weights.shape[-1])
-    num = kernel_splat(v, wt, ksize).reshape(b, s, h, w, c).sum(axis=1)
+    # splat values and a ones channel in ONE pass: the K^2 weight
+    # tensor (the dominant traffic) is read once instead of twice, and
+    # a C=1 scatter (which Mosaic fails to lower at some geometries)
+    # never exists
     ones = jnp.ones((b * s, h, w, 1), values.dtype)
-    den = kernel_splat(ones, wt, ksize).reshape(b, s, h, w, 1).sum(axis=1)
+    both = jnp.concatenate([v, ones], axis=-1)
+    acc = kernel_splat(both, wt, ksize).reshape(b, s, h, w, c + 1).sum(axis=1)
+    num, den = acc[..., :c], acc[..., c:]
     if sample_axis_name is not None:
         num = jax.lax.psum(num, sample_axis_name)
         den = jax.lax.psum(den, sample_axis_name)
