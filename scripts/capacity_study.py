@@ -42,7 +42,7 @@ def stage(batches):
     return [jax.device_put(b) for b in batches]
 
 
-def run(base, epochs, n_train, n_val, bs=4, spp=8, seed=0):
+def run(base, epochs, n_train, n_val, bs=4, spp=8, seed=0, lr=1e-4):
     import jax.numpy as jnp
 
     from wcmc_tpu import metrics
@@ -50,7 +50,7 @@ def run(base, epochs, n_train, n_val, bs=4, spp=8, seed=0):
     from wcmc_tpu.utils.utils import crop_like
 
     cfg = TrainConfig(base_model=base, batch_size=bs, spp=spp,
-                      lr_dncnn=1e-4, lr_pnet=(1e-4,),
+                      lr_dncnn=lr, lr_pnet=(1e-4,),
                       finite_check_every=10**9, seed=seed)
     iface = init_interfaces(cfg)[0]
     t0 = time.time()
@@ -101,7 +101,10 @@ def main():
     ap.add_argument("--models", type=str, default="sbmc,lbmc")
     args = ap.parse_args()
     for base in args.models.split(","):
-        run(base, args.epochs, args.train_batches, args.val_batches)
+        # reference learning rates: SBMC lr_dncnn 5e-4
+        # (train_sbmc.py:218-226), LBMC 1e-4
+        run(base, args.epochs, args.train_batches, args.val_batches,
+            lr=5e-4 if base == "sbmc" else 1e-4)
 
 
 if __name__ == "__main__":
