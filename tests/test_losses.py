@@ -146,3 +146,42 @@ def test_make_manifold_loss():
     assert losses.make_manifold_loss("GRS") is not None
     with pytest.raises(ValueError):
         losses.make_manifold_loss("nope")
+
+
+def test_cmajor_layout_matches_nhwc():
+    """The channel-major TPU fast path must produce the same loss values
+    as the (B,S,H,W,C) layout — identical pairs, same distances."""
+    key = jax.random.PRNGKey(7)
+    kp, kr = jax.random.split(key)
+    p = jax.random.normal(kp, (2, 3, 8, 8, 4))
+    ref = jax.random.uniform(kr, (2, 8, 8, 3))
+    p_cm = jnp.transpose(p, (0, 1, 4, 2, 3))
+    for pairing in ("roll", "permutation"):
+        for fn, kw in (
+            (losses.feature_mse, dict(pairing=pairing)),
+            (losses.global_relative_similarity, dict(pairing=pairing)),
+        ):
+            a = float(fn(jax.random.PRNGKey(11), p, ref, **kw))
+            b = float(fn(jax.random.PRNGKey(11), p_cm, ref, cmajor=True, **kw))
+            assert abs(a - b) < 1e-5 * max(1.0, abs(a)), (pairing, fn, a, b)
+    # hls correctness path
+    a = float(losses.feature_mse(jax.random.PRNGKey(5), p[..., :3], ref,
+                                 color="hls"))
+    b = float(losses.feature_mse(jax.random.PRNGKey(5),
+                                 jnp.transpose(p[..., :3], (0, 1, 4, 2, 3)),
+                                 ref, color="hls", cmajor=True))
+    assert abs(a - b) < 1e-5 * max(1.0, abs(a))
+
+
+def test_cmajor_grads_match_nhwc():
+    key = jax.random.PRNGKey(2)
+    p = jax.random.normal(key, (1, 2, 6, 6, 4))
+    ref = jax.random.uniform(jax.random.PRNGKey(3), (1, 6, 6, 3))
+    k = jax.random.PRNGKey(9)
+    g1 = jax.grad(lambda q: losses.feature_mse(k, q, ref))(p)
+    g2 = jax.grad(
+        lambda q: losses.feature_mse(
+            k, jnp.transpose(q, (0, 1, 4, 2, 3)), ref, cmajor=True
+        )
+    )(p)
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-5

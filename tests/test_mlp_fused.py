@@ -414,8 +414,12 @@ def test_interface_moments_match_direct_disentangled(rng):
         np.asarray(net_batch["kpcn_diffuse_in"]), np.asarray(want),
         rtol=1e-4, atol=1e-5,
     )
-    np.testing.assert_allclose(np.asarray(manif["diffuse"]),
-                               np.asarray(manif_d), rtol=1e-5, atol=1e-6)
+    # manifold buffers are channel-major (B, S, C, H, W)
+    np.testing.assert_allclose(
+        np.asarray(manif["diffuse"]),
+        np.asarray(jnp.transpose(manif_d, (0, 1, 4, 2, 3))),
+        rtol=1e-5, atol=1e-6,
+    )
 
     # val path: p-buffers sliced to the recon half, moments likewise
     val = iface._make_val_step()

@@ -232,12 +232,13 @@ def test_gather_tile_rows_mosaic_legal(h, w, k):
 
 def test_scatter_tile_rows_regression():
     # Round-1 failure shapes. 72x72 K21: the old weights-only budget
-    # yielded 49 rows (not a multiple of 8 -> Mosaic reject). 108x108
+    # yielded 49 rows (not a granule multiple -> Mosaic reject). 108x108
     # K21: rounding alone gave 32 rows, which double-buffers to
     # 16.41 MiB scoped VMEM (> the 16 MiB v5e budget). The full
-    # three-block model yields 24 for both.
-    assert pk._scatter_tile_rows(72, 72, 21, 3) == 24
-    assert pk._scatter_tile_rows(108, 108, 21, 3) == 24
+    # three-block model floors to the 16-row granule (bf16 logits need
+    # 16-row sublane tiles) for both.
+    assert pk._scatter_tile_rows(72, 72, 21, 3) == 16
+    assert pk._scatter_tile_rows(108, 108, 21, 3) == 16
 
 
 def test_scatter_vmem_within_budget():

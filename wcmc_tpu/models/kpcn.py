@@ -53,14 +53,20 @@ class KPCN(nn.Module):
         # lowers vmapped-filter convolutions poorly — so the branches
         # stay as two plain chains; only the kernel application below
         # is batched across branches.
+        # NOTE(perf): kernel logits stay in the chain's compute dtype
+        # (bf16 on TPU) — the conv already computed in bf16, so an f32
+        # upcast adds no information but doubles the HBM traffic of the
+        # dominant (B, h, w, K^2) tensor through the crop/transpose
+        # boundary and the Pallas kernel reads (in-kernel softmax math
+        # is f32 regardless).
         k_diffuse = ConvChain(
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
             pad=False, dtype=self.dtype, name="diffuse",
-        )(batch["kpcn_diffuse_in"]).astype(jnp.float32)
+        )(batch["kpcn_diffuse_in"])
         k_specular = ConvChain(
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
             pad=False, dtype=self.dtype, name="specular",
-        )(batch["kpcn_specular_in"]).astype(jnp.float32)
+        )(batch["kpcn_specular_in"])
         kernels = jnp.stack([k_diffuse, k_specular], axis=0)
 
         # Valid-window geometry: keep only kernel positions whose full

@@ -94,7 +94,7 @@ def _block_diag(a, b):
 
 
 def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch,
-                       with_moments=False):
+                       with_moments=False, cmajor=False):
     """Run the diffuse and specular PathNets as ONE fused kernel pass.
 
     Both branches read the same ``batch['paths']``; as two separate
@@ -111,7 +111,9 @@ def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch,
 
     Returns (p_diffuse, p_specular), each (B, S, H, W, outc) f32 —
     identical math to two separate PathNet applies (the off-diagonal
-    weight blocks are structural zeros).
+    weight blocks are structural zeros). With ``cmajor`` the branches
+    come back as (B, S, outc, H, W) — the dense layout the manifold
+    losses consume (losses._prep_pair NOTE(perf)).
     """
     import jax
 
@@ -184,12 +186,19 @@ def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch,
 
     if with_moments:
         out, ssum, ssq = pathnet_head(
-            e, ctx, ws_h, bs_h, ("relu", "relu"), True
+            e, ctx, ws_h, bs_h, ("relu", "relu"), True, jnp.float32, cmajor
         )
-        out = out.reshape(b, s, h, w, 2 * outc)
         moments = (ssum.reshape(b, h, w, 2 * outc),
                    ssq.reshape(b, h, w, 2 * outc))
+        if cmajor:
+            out = out.reshape(b, s, 2 * outc, h, w)
+            return out[:, :, :outc], out[:, :, outc:], moments
+        out = out.reshape(b, s, h, w, 2 * outc)
         return out[..., :outc], out[..., outc:], moments
-    out = pathnet_head(e, ctx, ws_h, bs_h, ("relu", "relu"))
+    out = pathnet_head(e, ctx, ws_h, bs_h, ("relu", "relu"), False,
+                       jnp.float32, cmajor)
+    if cmajor:
+        out = out.reshape(b, s, 2 * outc, h, w)
+        return out[:, :, :outc], out[:, :, outc:]
     out = out.reshape(b, s, h, w, 2 * outc)
     return out[..., :outc], out[..., outc:]

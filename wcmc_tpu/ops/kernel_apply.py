@@ -129,8 +129,8 @@ def _gather_fwd(buf, w, ksize):
 
 def _gather_bwd(ksize, res, g):
     buf, w = res
-    dbuf = _scatter_impl(g, w, ksize)
-    dw = _outer_impl(g, buf, ksize)
+    dbuf = _scatter_impl(g, w, ksize).astype(buf.dtype)
+    dw = _outer_impl(g, buf, ksize).astype(w.dtype)
     return dbuf, dw
 
 
@@ -148,8 +148,8 @@ def _scatter_fwd(x, w, ksize):
 
 def _scatter_bwd(ksize, res, g):
     x, w = res
-    dx = _gather_impl(g, w, ksize)
-    dw = _outer_impl(x, g, ksize)
+    dx = _gather_impl(g, w, ksize).astype(x.dtype)
+    dw = _outer_impl(x, g, ksize).astype(w.dtype)
     return dx, dw
 
 
@@ -168,7 +168,9 @@ kernel_scatter.defvjp(_scatter_fwd, _scatter_bwd)
 def kernel_gather_softmax(buf, logits, ksize):
     if _on_tpu():
         return pallas_kernels.gather_tpu(buf, logits, ksize, softmax=True)
-    return _gather_xla(buf, jax.nn.softmax(logits, axis=-1), ksize)
+    return _gather_xla(
+        buf, jax.nn.softmax(logits.astype(jnp.float32), axis=-1), ksize
+    )
 
 
 def _gather_sm_fwd(buf, logits, ksize):
@@ -181,11 +183,11 @@ def _gather_sm_bwd(ksize, res, g):
         dbuf = pallas_kernels.scatter_tpu(g, logits, ksize, softmax=True)
         dlogits = pallas_kernels.outer_softmax_tpu(g, buf, logits, ksize)
         return dbuf, dlogits
-    p = jax.nn.softmax(logits, axis=-1)
-    dbuf = _scatter_xla(g, p, ksize)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    dbuf = _scatter_xla(g, p, ksize).astype(buf.dtype)
     dp = _outer_xla(g, buf, ksize)
     dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    return dbuf, dlogits
+    return dbuf, dlogits.astype(logits.dtype)
 
 
 kernel_gather_softmax.defvjp(_gather_sm_fwd, _gather_sm_bwd)

@@ -29,10 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 # Test hook: run kernels in interpreter mode (CPU-correct).
 INTERPRET = False
 
-_DEF_TILE_ROWS = 8
+_DEF_TILE_ROWS = 16
 
 
 def _tile_rows(h: int) -> int:
+    # 16-row tiles satisfy both the f32 (8) and bf16 (16) sublane
+    # granule for every block; smaller h falls back to the whole dim
+    # (block == array dim is always legal).
     return min(_DEF_TILE_ROWS, h)
 
 
@@ -50,17 +53,28 @@ def _scatter_tile_rows(h: int, w: int, ksize: int, c: int = 3) -> int:
     only budget OOMed at 16.41 MiB scoped for the 108x108 K21 shape).
 
     Mosaic also requires the second-to-last block dim to be a multiple
-    of 8 or equal to the array dim, so the tile is rounded DOWN to a
-    multiple of 8 (floor 8) and clamped to h. A partial final tile
-    (h % th != 0) is fine: the row pass is per-row aligned, so garbage
-    reads past h only produce writes past h, which Pallas masks.
+    of the sublane granule (8 for f32, 16 for bf16 logits) or equal to
+    the array dim, so the tile is rounded DOWN to a multiple of 16
+    (floor 16) and clamped to h. A partial final tile (h % th != 0) is
+    fine: the row pass is per-row aligned, so garbage reads past h only
+    produce writes past h, which Pallas masks.
     """
     lanes_in = _lane_pad(w)
     lanes_out = _lane_pad(w + ksize - 1)
     per_row = 4 * (lanes_in * (c + ksize * ksize) + lanes_out * ksize * c)
     budget = 6 * 1024 * 1024
     th = budget // per_row
-    return min(h, max(8, (int(th) // 8) * 8))
+    if th < 16:
+        # The minimum Mosaic-legal tile (16 rows for bf16 logits) would
+        # double-buffer past VMEM; fail with a diagnosis instead of a
+        # compile OOM.
+        raise ValueError(
+            f"scatter_tpu: width {w} with ksize {ksize} needs "
+            f"{16 * per_row / 2**20:.1f} MiB per 16-row tile set "
+            f"(budget {budget / 2**20:.0f} MiB); tile the width before "
+            "calling (e.g. split the image into horizontal bands)"
+        )
+    return min(h, max(16, (int(th) // 16) * 16))
 
 
 def _to_cmajor(x):
@@ -89,14 +103,17 @@ def _pad_rows(x, rows: int):
 def _softmax_stats(w_ref, ksize):
     """Per-pixel max and 1/sum(exp) over the K^2 channel dim of the
     (1, K^2, th, w) logits block — two passes, no scratch; the main tap
-    loop then normalizes inline with exp(w - m) * inv."""
+    loop then normalizes inline with exp(w - m) * inv.
+
+    Logits may arrive bf16 (the conv computes bf16 anyway); all softmax
+    math is f32 in-kernel (Mosaic cannot cmpf packed bf16 either)."""
     k2 = ksize * ksize
-    m = w_ref[0, 0]
+    m = w_ref[0, 0].astype(jnp.float32)
     for d in range(1, k2):
-        m = jnp.maximum(m, w_ref[0, d])
+        m = jnp.maximum(m, w_ref[0, d].astype(jnp.float32))
     s = jnp.zeros(m.shape, jnp.float32)
     for d in range(k2):
-        s = s + jnp.exp(w_ref[0, d] - m)
+        s = s + jnp.exp(w_ref[0, d].astype(jnp.float32) - m)
     return m, 1.0 / s
 
 
@@ -121,7 +138,7 @@ def _gather_kernel(buf_ref, w_ref, out_ref, *, ksize, tile_rows, out_w,
     for dy in range(ksize):
         slab = _aligned_dy_slab(buf_ref, i, tile_rows, dy)
         for dx in range(ksize):
-            tap = w_ref[0, dy * ksize + dx, :, :]
+            tap = w_ref[0, dy * ksize + dx, :, :].astype(jnp.float32)
             if softmax:
                 tap = jnp.exp(tap - m) * inv
             acc = acc + tap[None, :, :] * slab[:, :, dx:dx + out_w]
@@ -142,11 +159,14 @@ def gather_tpu(buf, w, ksize, softmax=False):
     )
     th = _tile_rows(h)
     n_tiles = -(-h // th)
+    hp = n_tiles * th
     # +8 beyond the kernel halo: _aligned_dy_slab over-reads up to 8
     # rows past i*th + (ksize-1)
-    Hp = n_tiles * th + ((ksize - 1) // 8) * 8 + 8
+    Hp = hp + ((ksize - 1) // 8) * 8 + 8
     buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
-    w_t = _to_cmajor(w).astype(jnp.float32)
+    # logits stay in their dtype (bf16 on TPU): halves the HBM traffic
+    # of the dominant K^2-channel tensor; softmax math is f32 in-kernel
+    w_t = _pad_rows(_to_cmajor(w), hp)
 
     out = pl.pallas_call(
         functools.partial(
@@ -163,10 +183,10 @@ def gather_tpu(buf, w, ksize, softmax=False):
         ],
         out_specs=pl.BlockSpec((1, c, th, ow), lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, ow), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, ow), jnp.float32),
         interpret=INTERPRET,
     )(buf_t, w_t)
-    return _to_nhwc(out).astype(buf.dtype)
+    return _to_nhwc(out[:, :, :h]).astype(buf.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +208,7 @@ def _scatter_rows_kernel(x_ref, w_ref, s_ref, *, ksize, in_w,
         # concat-with-zeros (Mosaic has no scatter-add primitive).
         acc = jnp.zeros((c, th, out_w), jnp.float32)
         for dx in range(ksize):
-            tap = w_ref[0, dy * ksize + dx, :, :]       # (TH, in_w)
+            tap = w_ref[0, dy * ksize + dx, :, :].astype(jnp.float32)
             if softmax:
                 tap = jnp.exp(tap - m) * inv
             contrib = tap[None, :, :] * x_slab          # (C, TH, in_w)
@@ -212,11 +232,11 @@ def scatter_tpu(x, w, ksize, softmax=False):
     b, h, iw, c = x.shape
     H, W = h + ksize - 1, iw + ksize - 1
     th = _scatter_tile_rows(h, iw, ksize, c)
-    assert th % 8 == 0 or th == h, (
+    assert th % 16 == 0 or th == h, (
         f"Mosaic-illegal scatter tile {th} for h={h}"
     )
     x_t = _to_cmajor(x).astype(jnp.float32)
-    w_t = _to_cmajor(w).astype(jnp.float32)
+    w_t = _to_cmajor(w)   # logits stay in their dtype (bf16 on TPU)
 
     s = pl.pallas_call(
         functools.partial(_scatter_rows_kernel, ksize=ksize, in_w=iw,
@@ -257,16 +277,16 @@ def _outer_kernel(g_ref, buf_ref, dw_ref, *, ksize, tile_rows, out_w):
             dw_ref[0, dy * ksize + dx] = jnp.sum(prod, axis=0)
 
 
-def _outer_softmax_kernel(g_ref, buf_ref, w_ref, dw_ref, *, ksize,
+def _outer_softmax_kernel(g_ref, buf_ref, w_ref, dw_ref, dp_scr, *, ksize,
                           tile_rows, out_w):
     """Fused (outer + softmax VJP): emits d(logits) directly.
 
     dp[d] = sum_c g * buf_{+d};  p = softmax(w);
     dlogits[d] = p[d] * (dp[d] - sum_e p[e] dp[e]).
 
-    The raw dp values are staged in the OUTPUT block (already VMEM-
-    resident) during the first tap pass, then normalized in a second
-    pass — no extra scratch."""
+    The raw dp values are staged in an f32 VMEM scratch during the
+    first tap pass (the output block may be bf16 — staging there would
+    round dp), then normalized in a second pass."""
     i = pl.program_id(1)
     g_slab = g_ref[0, :, pl.ds(i * tile_rows, tile_rows), :out_w]
     m, inv = _softmax_stats(w_ref, ksize)
@@ -276,11 +296,13 @@ def _outer_softmax_kernel(g_ref, buf_ref, w_ref, dw_ref, *, ksize,
         for dx in range(ksize):
             d = dy * ksize + dx
             dp = jnp.sum(g_slab * slab[:, :, dx:dx + out_w], axis=0)
-            dw_ref[0, d] = dp
-            dot = dot + jnp.exp(w_ref[0, d] - m) * inv * dp
+            dp_scr[d] = dp
+            dot = dot + jnp.exp(
+                w_ref[0, d].astype(jnp.float32) - m
+            ) * inv * dp
     for d in range(ksize * ksize):
-        p_d = jnp.exp(w_ref[0, d] - m) * inv
-        dw_ref[0, d] = p_d * (dw_ref[0, d] - dot)
+        p_d = jnp.exp(w_ref[0, d].astype(jnp.float32) - m) * inv
+        dw_ref[0, d] = (p_d * (dp_scr[d] - dot)).astype(dw_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("ksize",))
@@ -307,10 +329,11 @@ def outer_tpu(g, buf, ksize):
         out_specs=pl.BlockSpec((1, ksize * ksize, th, ow),
                                lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ksize * ksize, h, ow), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ksize * ksize, hp, ow),
+                                       jnp.float32),
         interpret=INTERPRET,
     )(g_t, buf_t)
-    return _to_nhwc(dw).astype(g.dtype)
+    return _to_nhwc(dw[:, :, :h]).astype(g.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("ksize",))
@@ -325,7 +348,9 @@ def outer_softmax_tpu(g, buf, w, ksize):
     Hp = hp + ((ksize - 1) // 8) * 8 + 8
     g_t = _pad_rows(_to_cmajor(g).astype(jnp.float32), hp)
     buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
-    w_t = _to_cmajor(w).astype(jnp.float32)
+    # logits stay in their dtype (bf16 on TPU); d(logits) is emitted in
+    # the same dtype — it feeds the conv chain's (bf16) backward anyway
+    w_t = _pad_rows(_to_cmajor(w), hp)
 
     dw = pl.pallas_call(
         functools.partial(_outer_softmax_kernel, ksize=ksize, tile_rows=th,
@@ -343,7 +368,10 @@ def outer_softmax_tpu(g, buf, w, ksize):
         out_specs=pl.BlockSpec((1, ksize * ksize, th, ow),
                                lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ksize * ksize, h, ow), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ksize * ksize, hp, ow), w.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ksize * ksize, th, ow), jnp.float32),
+        ],
         interpret=INTERPRET,
     )(g_t, buf_t, w_t)
-    return _to_nhwc(dw).astype(g.dtype)
+    return _to_nhwc(dw[:, :, :h])

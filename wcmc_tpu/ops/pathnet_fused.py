@@ -290,7 +290,7 @@ pathnet_embed.defvjp(_pe_fwd, _pe_bwd)
 # ---------------------------------------------------------------------------
 
 def _head_fwd_kernel(e_ref, ctx_ref, w1e_ref, w1c_ref, b1_ref, *refs,
-                     acts, moments):
+                     acts, moments, cmajor=False):
     n_out = 3 if moments else 1
     out_refs = refs[len(refs) - n_out:]
     rest = refs[:len(refs) - n_out]
@@ -305,7 +305,15 @@ def _head_fwd_kernel(e_ref, ctx_ref, w1e_ref, w1c_ref, b1_ref, *refs,
         z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         h_f32 = _act(acts[i + 1], z)
         h = h_f32.astype(e_ref.dtype)
-    out_refs[0][0, 0] = h_f32.astype(out_refs[0].dtype)
+    if cmajor:
+        # emit (C, rows): a C-minor f32 output with 3-6 channels would
+        # physically pad each row to 128 lanes in HBM (~21x blowup at
+        # the KPCN p-buffer shape); the in-VMEM transpose is ~free
+        out_refs[0][0, 0] = jnp.transpose(
+            h_f32.astype(out_refs[0].dtype), (1, 0)
+        )
+    else:
+        out_refs[0][0, 0] = h_f32.astype(out_refs[0].dtype)
     if moments:
         # running sum / sum-of-squares over the S grid axis (innermost,
         # so the accumulator block is revisited on adjacent steps) —
@@ -325,7 +333,8 @@ def _head_fwd_kernel(e_ref, ctx_ref, w1e_ref, w1c_ref, b1_ref, *refs,
             out_refs[2][0] += sq
 
 
-def _head_bwd_kernel(e_ref, ctx_ref, g_ref, *all_refs, acts, moments):
+def _head_bwd_kernel(e_ref, ctx_ref, g_ref, *all_refs, acts, moments,
+                     cmajor=False):
     n_rest = len(acts) - 1
     if moments:
         gsum_ref, gsq_ref = all_refs[0], all_refs[1]
@@ -358,6 +367,8 @@ def _head_bwd_kernel(e_ref, ctx_ref, g_ref, *all_refs, acts, moments):
         hs.append(h_f32.astype(e.dtype))
 
     g = g_ref[0, 0].astype(jnp.float32)
+    if cmajor:
+        g = jnp.transpose(g, (1, 0))      # (C, rows) -> (rows, C)
     if moments:
         # out = h_f32 (recomputed); sum/sumsq cotangents broadcast over S
         g = g + gsum_ref[0] + 2.0 * h_f32 * gsq_ref[0]
@@ -436,7 +447,7 @@ def _head_split_w1(ws, ce):
     return w1[:ce], w1[ce:]
 
 
-def _head_fwd_pallas(e, ctx, ws, bs, acts, moments, out_dtype):
+def _head_fwd_pallas(e, ctx, ws, bs, acts, moments, out_dtype, cmajor):
     b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
     ep = _pad_rows(e, hwp)
     ctxp = _pad_rows(ctx, hwp).astype(e.dtype)
@@ -456,10 +467,16 @@ def _head_fwd_pallas(e, ctx, ws, bs, acts, moments, out_dtype):
     for w, bb in zip(wcast, bcast[1:]):
         in_specs += [_full(w.shape), _full(bb.shape)]
 
-    out_specs = [pl.BlockSpec((1, 1, tr, c_out),
-                              lambda bi, ti, si: (bi, si, ti, 0),
-                              memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((b, s, hwp, c_out), out_dtype)]
+    if cmajor:
+        out_specs = [pl.BlockSpec((1, 1, c_out, tr),
+                                  lambda bi, ti, si: (bi, si, 0, ti),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct((b, s, c_out, hwp), out_dtype)]
+    else:
+        out_specs = [pl.BlockSpec((1, 1, tr, c_out),
+                                  lambda bi, ti, si: (bi, si, ti, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct((b, s, hwp, c_out), out_dtype)]
     if moments:
         mom_spec = pl.BlockSpec((1, tr, c_out),
                                 lambda bi, ti, si: (bi, ti, 0),
@@ -468,7 +485,8 @@ def _head_fwd_pallas(e, ctx, ws, bs, acts, moments, out_dtype):
         out_shapes += [jax.ShapeDtypeStruct((b, hwp, c_out), jnp.float32)] * 2
 
     outs = pl.pallas_call(
-        functools.partial(_head_fwd_kernel, acts=acts, moments=moments),
+        functools.partial(_head_fwd_kernel, acts=acts, moments=moments,
+                          cmajor=cmajor),
         grid=(b, n_tiles, s),
         in_specs=in_specs,
         out_specs=out_specs if moments else out_specs[0],
@@ -478,15 +496,29 @@ def _head_fwd_pallas(e, ctx, ws, bs, acts, moments, out_dtype):
       *[t for pair in zip(wcast, bcast[1:]) for t in pair])
     if moments:
         out, ssum, ssq = outs
-        return out[:, :, :hw], ssum[:, :hw], ssq[:, :hw]
-    return outs[:, :, :hw]
+        out = out[..., :hw] if cmajor else out[:, :, :hw]
+        return out, ssum[:, :hw], ssq[:, :hw]
+    return outs[..., :hw] if cmajor else outs[:, :, :hw]
 
 
-def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):  # noqa: E501
+def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments,
+                     cmajor=False):
     b, s, hw, ce, tr, n_tiles, hwp = _head_geometry(e)
     ep = _pad_rows(e, hwp)
     ctxp = _pad_rows(ctx, hwp)
-    gp = _pad_rows(g.astype(jnp.float32), hwp)
+    if cmajor:  # g (B, S, C, HW): rows are the minor axis
+        gp = g.astype(jnp.float32)
+        if gp.shape[-1] != hwp:
+            gp = jnp.pad(gp, [(0, 0)] * 3 + [(0, hwp - gp.shape[-1])])
+        c_g = g.shape[2]
+        g_spec = pl.BlockSpec((1, 1, c_g, tr),
+                              lambda bi, ti, si: (bi, si, 0, ti),
+                              memory_space=pltpu.VMEM)
+    else:
+        gp = _pad_rows(g.astype(jnp.float32), hwp)
+        g_spec = pl.BlockSpec((1, 1, tr, g.shape[-1]),
+                              lambda bi, ti, si: (bi, si, ti, 0),
+                              memory_space=pltpu.VMEM)
     w1e, w1c = _head_split_w1(ws, ce)
     wcast = [w.astype(e.dtype) for w in ws[1:]]
     bcast = [bb.reshape(1, -1).astype(jnp.float32) for bb in bs]
@@ -497,9 +529,7 @@ def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):  # noqa: E501
         pl.BlockSpec((1, tr, ctx.shape[-1]),
                      lambda bi, ti, si: (bi, ti, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tr, g.shape[-1]),
-                     lambda bi, ti, si: (bi, si, ti, 0),
-                     memory_space=pltpu.VMEM),
+        g_spec,
     ]
     mom_args = ()
     if moments:
@@ -539,7 +569,8 @@ def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):  # noqa: E501
         ]
 
     outs = pl.pallas_call(
-        functools.partial(_head_bwd_kernel, acts=acts, moments=moments),
+        functools.partial(_head_bwd_kernel, acts=acts, moments=moments,
+                          cmajor=cmajor),
         grid=(b, n_tiles, s),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -560,7 +591,8 @@ def _head_bwd_pallas(e, ctx, g, gsum, gsq, ws, bs, acts, moments):  # noqa: E501
     return de, dctx, dws, dbs
 
 
-def _head_xla(e, ctx, ws, bs, acts, moments=False, out_dtype=jnp.float32):
+def _head_xla(e, ctx, ws, bs, acts, moments=False, out_dtype=jnp.float32,
+              cmajor=False):
     b, s, hw, ce = e.shape
     joint = jnp.concatenate(
         [e, jnp.broadcast_to(
@@ -571,32 +603,38 @@ def _head_xla(e, ctx, ws, bs, acts, moments=False, out_dtype=jnp.float32):
     out = _mlp_xla(joint.reshape(-1, joint.shape[-1]), list(ws), list(bs),
                    acts)
     out = out.reshape(b, s, hw, ws[-1].shape[1]).astype(out_dtype)
+    res = jnp.transpose(out, (0, 1, 3, 2)) if cmajor else out
     if moments:
         out32 = out.astype(jnp.float32)
-        return out, jnp.sum(out32, axis=1), jnp.sum(out32 * out32, axis=1)
-    return out
+        return res, jnp.sum(out32, axis=1), jnp.sum(out32 * out32, axis=1)
+    return res
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def pathnet_head(e, ctx, ws, bs, acts, moments=False, out_dtype=jnp.float32):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def pathnet_head(e, ctx, ws, bs, acts, moments=False, out_dtype=jnp.float32,
+                 cmajor=False):
     """Head chain over [e | broadcast_S(ctx)] without materializing the
     concat. e (B,S,HW,Ce) in compute dtype; ctx (B,HW,Cc) f32;
     ws[0] has shape (Ce+Cc, C1). Returns (B,S,HW,Cout) f32, or with
     ``moments`` a tuple (out, sum_S(out), sum_S(out^2)) where the f32
     moments are accumulated in VMEM (feeds the KPCN inputs' p-buffer
-    mean/variance without an XLA reduce over the sample axis)."""
+    mean/variance without an XLA reduce over the sample axis).
+
+    ``cmajor``: emit the per-sample output as (B, S, Cout, HW) — the
+    dense layout for the manifold-loss path (see losses._prep_pair);
+    moments stay (B, HW, Cout)."""
     if _on_tpu():
         return _head_fwd_pallas(e, ctx, list(ws), list(bs), tuple(acts),
-                                moments, out_dtype)
-    return _head_xla(e, ctx, ws, bs, tuple(acts), moments, out_dtype)
+                                moments, out_dtype, cmajor)
+    return _head_xla(e, ctx, ws, bs, tuple(acts), moments, out_dtype, cmajor)
 
 
-def _ph_fwd(e, ctx, ws, bs, acts, moments, out_dtype):
-    out = pathnet_head(e, ctx, ws, bs, acts, moments, out_dtype)
+def _ph_fwd(e, ctx, ws, bs, acts, moments, out_dtype, cmajor):
+    out = pathnet_head(e, ctx, ws, bs, acts, moments, out_dtype, cmajor)
     return out, (e, ctx, list(ws), list(bs))
 
 
-def _ph_bwd(acts, moments, out_dtype, res, g):
+def _ph_bwd(acts, moments, out_dtype, cmajor, res, g):
     e, ctx, ws, bs = res
     if moments:
         g_out, g_sum, g_sq = g
@@ -604,12 +642,13 @@ def _ph_bwd(acts, moments, out_dtype, res, g):
         g_out, g_sum, g_sq = g, None, None
     if _on_tpu():
         de, dctx, dws, dbs = _head_bwd_pallas(
-            e, ctx, g_out, g_sum, g_sq, ws, bs, tuple(acts), moments
+            e, ctx, g_out, g_sum, g_sq, ws, bs, tuple(acts), moments,
+            cmajor,
         )
     else:
         def f(e_, ctx_, ws_, bs_):
             return _head_xla(e_, ctx_, ws_, bs_, tuple(acts), moments,
-                             out_dtype)
+                             out_dtype, cmajor)
 
         _, vjp = jax.vjp(f, e, ctx, ws, bs)
         de, dctx, dws, dbs = vjp(g)

@@ -19,7 +19,14 @@ import numpy as np
 
 from wcmc_tpu.train.state import ModelState
 
-FORMAT_VERSION = 1
+# Version history:
+#   1 — round-1 layout: per-tensor optimizer state; PathNet params as
+#       nested ConvChain submodules.
+#   2 — round-2/3 layout: PathNet chain params flattened to
+#       embedding_w0/b0... (fused kernels), optimizer state flattened to
+#       one f32 vector per model (optax.flatten). Checkpoints written
+#       with version 1 are structurally incompatible; retrain or remap.
+FORMAT_VERSION = 2
 
 
 def _to_host(tree: Any):
@@ -73,9 +80,18 @@ def restore_interface(interface, ck: dict, load_optim: bool = True,
         opt_state = interface.states[name].opt_state
         if load_optim and "optim_" + name in ck:
             host_opt = ck["optim_" + name]
-            opt_state = jax.tree_util.tree_map(
-                lambda ref, new: new, opt_state, host_opt
-            )
+            try:
+                opt_state = jax.tree_util.tree_map(
+                    lambda ref, new: new, opt_state, host_opt
+                )
+            except ValueError as e:
+                raise ValueError(
+                    f"optimizer state for {name!r} does not match this "
+                    f"build (checkpoint format_version="
+                    f"{ck.get('format_version', 1)}, current "
+                    f"{FORMAT_VERSION}; see version history in "
+                    "wcmc_tpu/train/checkpoint.py)"
+                ) from e
         if lr_override and name in lr_override:
             set_learning_rate(opt_state, lr_override[name])
         interface.states[name] = ModelState(params=params, opt_state=opt_state)

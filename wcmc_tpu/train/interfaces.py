@@ -35,27 +35,40 @@ from wcmc_tpu.utils.utils import crop_like
 Batch = Dict[str, jnp.ndarray]
 
 
-def split_disentangle(p_buffer, mode: str):
+def split_disentangle(p_buffer, mode: str, axis: int = -1):
     """Split an embedding into (manifold half, reconstruction half)
-    (reference interfaces.py:139-164)."""
-    c = p_buffer.shape[-1]
+    along the channel axis (reference interfaces.py:139-164)."""
+    c = p_buffer.shape[axis]
     half = c // 2
+    lo = [slice(None)] * (axis % p_buffer.ndim) + [slice(None, half)]
+    hi = [slice(None)] * (axis % p_buffer.ndim) + [slice(half, None)]
+    lo, hi = tuple(lo), tuple(hi)
     if mode == "m11r11":
         return p_buffer, p_buffer
     if mode == "m10r01":
-        return p_buffer[..., half:], p_buffer[..., :half]
+        return p_buffer[hi], p_buffer[lo]
     if mode == "m11r01":
-        return p_buffer, p_buffer[..., :half]
+        return p_buffer, p_buffer[lo]
     if mode == "m10r11":
-        return p_buffer[..., half:], p_buffer
+        return p_buffer[hi], p_buffer
     raise ValueError(f"unknown disentangle mode {mode!r}")
+
+
+def crop_hw(x, h_t: int, w_t: int):
+    """Center-crop the LAST TWO (spatial) dims — the channel-major
+    counterpart of utils.crop_like."""
+    dh = (x.shape[-2] - h_t) // 2
+    dw = (x.shape[-1] - w_t) // 2
+    return x[..., dh:dh + h_t, dw:dw + w_t]
 
 
 def p_buffer_variance(p_buffer):
     """Detached per-pixel embedding variance / spp
-    (reference interfaces.py:165-168).  (B,S,H,W,C) -> (B,H,W,1)."""
+    (reference interfaces.py:165-168).  (B,S,H,W,C) -> (B,H,W,1).
+
+    Unbiased (ddof=1) sample variance, matching torch ``.var(1)``."""
     s = p_buffer.shape[1]
-    v = p_buffer.var(axis=1).mean(axis=-1, keepdims=True) / s
+    v = p_buffer.var(axis=1, ddof=1).mean(axis=-1, keepdims=True) / s
     return jax.lax.stop_gradient(v)
 
 
@@ -291,7 +304,7 @@ class KPCNInterface(BaseInterface):
         self.iters += 1
 
     # -- functional pieces --------------------------------------------------
-    def _dual_pathnet(self, params, batch):
+    def _dual_pathnet(self, params, batch, cmajor=False):
         """Run the diffuse and specular PathNets as one fused pass.
 
         NOTE(perf): a vmapped-weights joint forward was measured slower
@@ -307,7 +320,7 @@ class KPCNInterface(BaseInterface):
         if isinstance(m_d, PathNet) and isinstance(m_s, PathNet):
             return dual_pathnet_apply(
                 m_d, params["backbone_diffuse"],
-                m_s, params["backbone_specular"], batch,
+                m_s, params["backbone_specular"], batch, cmajor=cmajor,
             )
         p_d = self.models["backbone_diffuse"].apply(
             {"params": params["backbone_diffuse"]}, batch
@@ -315,15 +328,21 @@ class KPCNInterface(BaseInterface):
         p_s = self.models["backbone_specular"].apply(
             {"params": params["backbone_specular"]}, batch
         )
+        if cmajor:
+            p_d = jnp.transpose(p_d, (0, 1, 4, 2, 3))
+            p_s = jnp.transpose(p_s, (0, 1, 4, 2, 3))
         return p_d, p_s
 
-    def _dual_pathnet_with_moments(self, params, batch):
+    def _dual_pathnet_with_moments(self, params, batch, cmajor=False):
         """Dual PathNet forward plus per-branch sample moments.
 
         Returns (p_d, p_s, mean_d, mean_s, var_d, var_s) where mean/var
         are full-channel (B,H,W,outc) f32 over the sample axis. On the
         fused dual path the moments come from VMEM accumulators in the
-        head kernel instead of an XLA reduce over (B,S,H,W,C)."""
+        head kernel instead of an XLA reduce over (B,S,H,W,C).
+
+        ``cmajor``: p_d/p_s come back (B,S,outc,H,W) — the manifold-loss
+        fast path (losses._prep_pair NOTE(perf)); moments unchanged."""
         from wcmc_tpu.models.pathnet import PathNet, dual_pathnet_apply
 
         m_d = self.models["backbone_diffuse"]
@@ -332,16 +351,26 @@ class KPCNInterface(BaseInterface):
             p_d, p_s, (ssum, ssq) = dual_pathnet_apply(
                 m_d, params["backbone_diffuse"],
                 m_s, params["backbone_specular"], batch, with_moments=True,
+                cmajor=cmajor,
             )
             s = p_d.shape[1]
-            outc = p_d.shape[-1]
+            outc = p_d.shape[2] if cmajor else p_d.shape[-1]
             mean = ssum / s
-            var = jnp.maximum(ssq / s - mean * mean, 0.0)
+            # unbiased (ddof=1) sample variance, matching the torch
+            # ``.var(1)`` the reference feeds as the variance feature
+            # (reference interfaces.py:165-168)
+            var = jnp.maximum(ssq / s - mean * mean, 0.0) * (
+                s / max(s - 1, 1)
+            )
             return (p_d, p_s, mean[..., :outc], mean[..., outc:],
                     var[..., :outc], var[..., outc:])
         p_d, p_s = self._dual_pathnet(params, batch)
-        return (p_d, p_s, p_d.mean(axis=1), p_s.mean(axis=1),
-                p_d.var(axis=1), p_s.var(axis=1))
+        out = (p_d, p_s, p_d.mean(axis=1), p_s.mean(axis=1),
+               p_d.var(axis=1, ddof=1), p_s.var(axis=1, ddof=1))
+        if cmajor:
+            out = (jnp.transpose(p_d, (0, 1, 4, 2, 3)),
+                   jnp.transpose(p_s, (0, 1, 4, 2, 3))) + out[2:]
+        return out
 
     @staticmethod
     def _variance_feature(var_slice, s):
@@ -354,14 +383,20 @@ class KPCNInterface(BaseInterface):
 
     def _forward_with_paths(self, params, batch, for_training=True):
         """PathNet forward + disentangle + input concat.  Returns
-        (augmented batch, manifold buffers dict or None)."""
+        (augmented batch, manifold buffers dict or None). The manifold
+        buffers are channel-major (B, S, C, H, W) — the dense layout
+        the losses consume (losses._prep_pair NOTE(perf))."""
         p_d, p_s, mean_d, mean_s, var_d, var_s = (
-            self._dual_pathnet_with_moments(params, batch)
+            self._dual_pathnet_with_moments(params, batch,
+                                            cmajor=for_training)
         )
         s = p_d.shape[1]
         opt = self.disentanglement_option
-        manif_d, _ = split_disentangle(p_d, opt)
-        manif_s, _ = split_disentangle(p_s, opt)
+        if for_training:  # p_d/p_s are (B, S, C, H, W)
+            manif_d, _ = split_disentangle(p_d, opt, axis=2)
+            manif_s, _ = split_disentangle(p_s, opt, axis=2)
+        else:
+            manif_d = manif_s = None
         _, mean_recon_d = split_disentangle(mean_d, opt)
         _, mean_recon_s = split_disentangle(mean_s, opt)
         _, var_recon_d = split_disentangle(var_d, opt)
@@ -407,13 +442,14 @@ class KPCNInterface(BaseInterface):
 
                 if self.manif_learn:
                     kd, ks = jax.random.split(key)
+                    h_t, w_t = diffuse.shape[1], diffuse.shape[2]
                     l_md = lf["l_manif"](
-                        kd, crop_like(out_manif["diffuse"], diffuse),
-                        tgt_diffuse,
+                        kd, crop_hw(out_manif["diffuse"], h_t, w_t),
+                        tgt_diffuse, cmajor=True,
                     )
                     l_ms = lf["l_manif"](
-                        ks, crop_like(out_manif["specular"], specular),
-                        tgt_specular,
+                        ks, crop_hw(out_manif["specular"], h_t, w_t),
+                        tgt_specular, cmajor=True,
                     )
                     loss = loss + self.w_manif * (l_md + l_ms)
                     loss_dict["l_manif_diffuse"] = l_md
@@ -531,10 +567,12 @@ class KPCNPreInterface(KPCNInterface):
             backbone_names = ["backbone_diffuse", "backbone_specular"]
 
             def loss_fn(params, batch, key):
-                p_d, p_s = self._dual_pathnet(params, batch)
+                p_d, p_s = self._dual_pathnet(params, batch, cmajor=True)
                 kd, ks = jax.random.split(key)
-                l_md = lf["l_manif"](kd, p_d, batch["target_diffuse"])
-                l_ms = lf["l_manif"](ks, p_s, batch["target_specular"])
+                l_md = lf["l_manif"](kd, p_d, batch["target_diffuse"],
+                                     cmajor=True)
+                l_ms = lf["l_manif"](ks, p_s, batch["target_specular"],
+                                     cmajor=True)
                 loss = self.w_manif * (l_md + l_ms)
                 return loss, {"l_manif_diffuse": l_md, "l_manif_specular": l_ms}
 
@@ -639,7 +677,9 @@ class SBMCInterface(BaseInterface):
         else:
             p_manif, p_recon = split_disentangle(p_buffer, self.disentangle)
         s = p_recon.shape[1]
-        p_var = p_recon.var(axis=1).mean(axis=-1, keepdims=True) / s
+        # unbiased ddof=1, matching torch .var(1) (reference
+        # interfaces.py:394-403)
+        p_var = p_recon.var(axis=1, ddof=1).mean(axis=-1, keepdims=True) / s
         p_var = jax.lax.stop_gradient(
             jnp.broadcast_to(p_var[:, None], p_recon.shape[:4] + (1,))
         )

@@ -37,6 +37,15 @@ def adam_with_clip(lr, clip_value: float | None = None,
 
     The learning rate is injected as a mutable hyperparameter so epoch
     schedulers (e.g. LBMC's StepLR) can update it in place.
+
+    NOTE(perf): the whole chain runs through ``optax.flatten`` — one
+    contiguous f32 vector per model instead of per-tensor updates.
+    Profiled on v5e, per-weight Adam fusions on the KPCN [5,5,100,100]
+    conv tensors cost ~0.33 ms EACH (~7 ms/step across the stack; XLA
+    tiles the small-dim-leading layouts poorly); the flat vector runs
+    the same math at HBM bandwidth (<0.5 ms). Clipping semantics are
+    unchanged: value clip is elementwise and the global norm is
+    layout-invariant.
     """
     chain = []
     if clip_value is not None:
@@ -44,7 +53,7 @@ def adam_with_clip(lr, clip_value: float | None = None,
     if clip_norm is not None:
         chain.append(optax.clip_by_global_norm(clip_norm))
     chain.append(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
-    return optax.chain(*chain)
+    return optax.flatten(optax.chain(*chain))
 
 
 def set_learning_rate(opt_state, lr):
