@@ -51,23 +51,29 @@ def bench(tag, fn, args, flops):
 def main():
     rng = np.random.default_rng(0)
     shapes = [
-        ("conv1 39->100 @128", 8, 128, 39, 100),
-        ("mid  100->100 @120", 8, 120, 100, 100),
-        ("conv9 100->441 @96", 8, 96, 100, 441),
+        ("conv1 39->100 @128", 8, 128, 39, 100, 5),
+        ("mid  100->100 @120", 8, 120, 100, 100, 5),
+        ("conv9 100->441 @96", 8, 96, 100, 441, 5),
+        # UNet 3x3 SAME shapes (pre-padded -> VALID), bs8 128px width 64
+        ("unet  64->64  @130", 8, 130, 64, 64, 3),
+        ("unet 128->128 @66 ", 8, 66, 128, 128, 3),
+        ("unet 256->256 @34 ", 8, 34, 256, 256, 3),
+        ("unet 384->128 @66 ", 8, 66, 384, 128, 3),
+        ("unet 192->64  @130", 8, 130, 192, 64, 3),
     ]
-    for tag, b, hw, cin, cout in shapes:
+    for tag, b, hw, cin, cout, k in shapes:
         x = jnp.asarray(rng.standard_normal((b, hw, hw, cin)), jnp.bfloat16)
-        w = jnp.asarray(rng.standard_normal((5, 5, cin, cout)) * 0.05,
+        w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.05,
                         jnp.float32)
         bias = jnp.zeros((cout,), jnp.float32)
-        flops = 2.0 * b * (hw - 4) ** 2 * 25 * cin * cout
+        flops = 2.0 * b * (hw - k + 1) ** 2 * k * k * cin * cout
 
         bench(tag + " pallas",
-              lambda x_, w_, b_: _conv_fwd_pallas(
-                  x_, _reshape_w(w_, x_.dtype), b_, 5, "relu", x_.dtype),
+              lambda x_, w_, b_, k_=k: _conv_fwd_pallas(
+                  x_, _reshape_w(w_, x_.dtype), b_, k_, "relu", x_.dtype),
               (x, w, bias), flops)
         bench(tag + " xla   ",
-              jax.jit(lambda x_, w_, b_: _conv_xla(x_, w_, b_, 5, "relu")),
+              jax.jit(lambda x_, w_, b_, k_=k: _conv_xla(x_, w_, b_, k_, "relu")),
               (x, w, bias), flops)
 
 

@@ -1,0 +1,254 @@
+"""Round-3 convergence experiment: does manifold learning separate?
+
+Fixes the round-2 methodology flaw (a fixed device-resident patch
+corpus that every config overfits): full 256-px frames are staged on
+device ONCE and fresh random 128-px patches are cut on device every
+step (wcmc_tpu/data/device_corpus.py), so no patch repeats and the
+only shared state between configs is the scene set.
+
+Reference recipe mirrored (reference README.md:43-56,
+train_kpcn.py:358-381): spp 8, batch 8, 128-px patches, lr 1e-4,
+w_manif 0.1, stage 2 fine-tune at lr 1e-6. Configs: vanilla KPCN,
+KPCN+FMSE manifold, KPCN+GRS manifold, each over ``--seeds`` seeds.
+
+Steps are chained through ``lax.scan`` in chunks so the ~35 ms axon
+dispatch latency amortizes across a whole chunk (one host call per 32
+steps instead of per step).
+
+Writes per-epoch JSONL to experiments/manifold/<name>_s<seed>.jsonl,
+checkpoints, and a run summary CSV.
+"""
+import sys, os, json, time, argparse
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "experiments", "manifold")
+
+CONFIGS = {
+    "vanilla": dict(use_llpm_buf=False, manif_learn=False, manif_loss=None),
+    "fmse": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE"),
+    "grs": dict(use_llpm_buf=True, manif_learn=True, manif_loss="GRS"),
+}
+
+
+def build_frames(n_scenes, size, spp, seed, use_llpm):
+    """Host-side: synthetic scenes -> full-frame KPCN batch dicts."""
+    from wcmc_tpu.data import synthetic
+    from wcmc_tpu.data.batches import kpcn_batch_from_raw
+
+    frames = []
+    rng = np.random.default_rng(seed)
+    for i in range(n_scenes):
+        raw, gt = synthetic.synthetic_raw_sample(rng, size, size, spp)
+        f = kpcn_batch_from_raw(raw, gt, use_llpm_buf=use_llpm)
+        frames.append({k: np.asarray(v) for k, v in f.items()})
+        if (i + 1) % 8 == 0:
+            print(f"  built {i + 1}/{n_scenes} scenes", flush=True)
+    return frames
+
+
+def bf16_cast(k, v):
+    import jax.numpy as jnp
+
+    # per-sample tensors dominate staging bytes; the models consume
+    # them in bf16 anyway
+    if k in ("paths", "radiance", "features"):
+        return v.astype(jnp.bfloat16)
+    return v
+
+
+def stage(frames, patch, val_frac=0.0):
+    from wcmc_tpu.data.device_corpus import DeviceCorpus
+
+    return DeviceCorpus(frames, patch=patch, cast=bf16_cast)
+
+
+def make_chunk_runner(iface, corpus, chunk):
+    """One jitted call: scan `chunk` train steps over freshly-cropped
+    device patches."""
+    import jax
+    import jax.numpy as jnp
+
+    from wcmc_tpu.data.device_corpus import _crop_frames
+
+    raw_step = iface._make_train_step()
+    frames = corpus.frames
+    patch = corpus.patch
+
+    @jax.jit
+    def run_chunk(states, ids, ys, xs, key):
+        def body(states, inp):
+            i, y, x, j = inp
+            batch = _crop_frames(frames, i, y, x, patch)
+            states, ld = raw_step(states, batch, jax.random.fold_in(key, j))
+            return states, ld
+
+        steps = jnp.arange(ids.shape[0])
+        states, lds = jax.lax.scan(body, states, (ids, ys, xs, steps))
+        return states, jax.tree_util.tree_map(
+            lambda v: jnp.mean(v.astype(jnp.float32)), lds)
+
+    return run_chunk
+
+
+def val_relmse(iface, val_batches):
+    import jax.numpy as jnp
+
+    from wcmc_tpu import metrics
+    from wcmc_tpu.utils.utils import crop_like
+
+    vals, inputs = [], []
+    for b in val_batches:
+        out, _ = iface.validate_batch(b)
+        out = np.asarray(out)
+        tgt = np.asarray(crop_like(b["target_total"], jnp.asarray(out)))
+        noisy = np.asarray(
+            crop_like(
+                jnp.asarray(b["kpcn_diffuse_buffer"], jnp.float32)
+                * jnp.asarray(b["kpcn_albedo"], jnp.float32)
+                + jnp.expm1(jnp.asarray(b["kpcn_specular_buffer"],
+                                        jnp.float32)),
+                jnp.asarray(out),
+            )
+        )
+        vals.append(metrics.RelMSE(out, tgt))
+        inputs.append(metrics.RelMSE(noisy, tgt))
+    return float(np.mean(vals)), float(np.mean(inputs))
+
+
+def run(name, overrides, args, train_corpus, val_batches, seed):
+    import jax
+
+    from wcmc_tpu.train.checkpoint import save_checkpoint
+    from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+    from wcmc_tpu.train.state import set_learning_rate
+
+    cfg = TrainConfig(
+        base_model="kpcn", batch_size=8, spp=8,
+        lr_dncnn=1e-4, lr_pnet=(1e-4,), w_manif=(0.1,),
+        train_branches=True, finite_check_every=10**9, seed=seed,
+        kpcn_ksize=args.ksize,
+        **overrides,
+    )
+    iface = init_interfaces(cfg)[0]
+    iface.to_train_mode()
+    run_chunk = make_chunk_runner(iface, train_corpus, args.chunk)
+
+    tag = f"{name}_s{seed}"
+    log_fn = os.path.join(OUT, f"{tag}.jsonl")
+    rng = np.random.default_rng(1000 + seed)
+    key = jax.random.PRNGKey(seed)
+    rows = []
+    total_epochs = args.epochs + args.finetune_epochs
+    for epoch in range(total_epochs):
+        if epoch == args.epochs:   # stage 2: fine-tune (reference
+            # train_kpcn.py:370-381 restarts at lr 1e-6)
+            for st in iface.states.values():
+                set_learning_rate(st.opt_state, 1e-6)
+        t0 = time.time()
+        sums, norm = {}, 0
+        for c in range(args.chunks_per_epoch):
+            ids = np.empty((args.chunk, 8), np.int32)
+            ys = np.empty((args.chunk, 8), np.int32)
+            xs = np.empty((args.chunk, 8), np.int32)
+            for s in range(args.chunk):
+                ids[s] = rng.integers(0, train_corpus.n, 8)
+                ys[s] = rng.integers(0, train_corpus.max_y + 1, 8)
+                xs[s] = rng.integers(0, train_corpus.max_x + 1, 8)
+            import jax.numpy as jnp
+
+            key = jax.random.fold_in(key, epoch * 10000 + c)
+            iface.states, lds = run_chunk(
+                iface.states, jnp.asarray(ids), jnp.asarray(ys),
+                jnp.asarray(xs), key)
+            norm += 1
+            for k, v in lds.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        iface.to_eval_mode()
+        rel, rel_in = val_relmse(iface, val_batches)
+        iface.to_train_mode()
+        row = {
+            "epoch": epoch,
+            "stage": 2 if epoch >= args.epochs else 1,
+            "steps": (epoch + 1) * args.chunks_per_epoch * args.chunk,
+            "val_relmse_1e3": round(rel * 1e3, 4),
+            "input_relmse_1e3": round(rel_in * 1e3, 4),
+            "sec": round(time.time() - t0, 1),
+            **{f"train_{k}": round(v / norm, 6) for k, v in sums.items()},
+        }
+        rows.append(row)
+        with open(log_fn, "a") as f:
+            f.write(json.dumps({"config": tag, **row}) + "\n")
+        print(f"[{tag}] {row}", flush=True)
+
+    save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface,
+                    epoch=total_epochs - 1)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_scenes", type=int, default=40)
+    ap.add_argument("--val_scenes", type=int, default=8)
+    ap.add_argument("--frame", type=int, default=256)
+    ap.add_argument("--patch", type=int, default=128)
+    ap.add_argument("--ksize", type=int, default=21)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--finetune_epochs", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--chunks_per_epoch", type=int, default=8)
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--configs", type=str, default="vanilla,fmse,grs")
+    args = ap.parse_args()
+
+    os.makedirs(OUT, exist_ok=True)
+    names = args.configs.split(",")
+    any_llpm = any(CONFIGS[n]["use_llpm_buf"] for n in names)
+
+    # one scene set for every config/seed; llpm keys present iff needed
+    print("building corpus frames on host...", flush=True)
+    t0 = time.time()
+    train_frames = build_frames(args.train_scenes, args.frame, args.spp,
+                                seed=7, use_llpm=any_llpm)
+    val_frames = build_frames(args.val_scenes, args.frame, args.spp,
+                              seed=7777, use_llpm=any_llpm)
+    print(f"built in {time.time() - t0:.0f}s; staging to device...",
+          flush=True)
+
+    t0 = time.time()
+    train_corpus = stage(train_frames, args.patch)
+    del train_frames
+    val_corpus = stage(val_frames, args.patch)
+    del val_frames
+    val_batches = list(val_corpus.grid_batches(8, stride=args.patch))
+    print(f"staged {train_corpus.nbytes() / 1e9:.2f} GB train + "
+          f"{val_corpus.nbytes() / 1e9:.2f} GB val in "
+          f"{time.time() - t0:.0f}s; {len(val_batches)} val batches",
+          flush=True)
+
+    summary = []
+    for seed in range(args.seeds):
+        for name in names:
+            rows = run(name, CONFIGS[name], args, train_corpus,
+                       val_batches, seed)
+            best = min(r["val_relmse_1e3"] for r in rows)
+            final = rows[-1]["val_relmse_1e3"]
+            summary.append((name, seed, best, final,
+                            rows[-1]["input_relmse_1e3"]))
+            print(f"[summary] {name} s{seed}: best {best} final {final}",
+                  flush=True)
+
+    with open(os.path.join(OUT, "summary.csv"), "a") as f:
+        if f.tell() == 0:
+            f.write("config,seed,best_val_relmse_1e3,final_val_relmse_1e3,"
+                    "input_relmse_1e3\n")
+        for row in summary:
+            f.write(",".join(str(v) for v in row) + "\n")
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,29 @@ def test_conv2d_band_tiling_covers_partial_bands():
     y_ref = _conv_xla(x, wgt, bias, 5, None)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_convchain_fused_matches_unfused():
+    # same params (tree is layout-identical), same output
+    from wcmc_tpu.models.blocks import ConvChain
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 7)), jnp.float32)
+    chain = ConvChain(11, width=16, depth=3, ksize=5, pad=False)
+    fused = ConvChain(11, width=16, depth=3, ksize=5, pad=False,
+                      fused=True)
+    params = chain.init(jax.random.PRNGKey(0), x)
+    pf = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(pf)
+    y = chain.apply(params, x)
+    yf = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y),
+                               rtol=1e-4, atol=1e-4)
+
+    g = jax.grad(lambda p: jnp.sum(jnp.sin(chain.apply(p, x))))(params)
+    gf = jax.grad(lambda p: jnp.sum(jnp.sin(fused.apply(p, x))))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        g, gf)

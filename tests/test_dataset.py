@@ -129,6 +129,29 @@ def test_batch_loader_never_mixes_shapes():
         assert b["radiance"].shape[0] == 2
 
 
+def test_batch_loader_flushes_partial_at_boundary():
+    """With drop_last=False the pending partial batch at a shape
+    boundary is yielded, not dropped."""
+
+    class FakeDS:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            s = 2 if i < 3 else 4   # boundary at i=3 with 1 pending
+            return {"radiance": np.full((s, 8, 8, 3), i, np.float32)}
+
+    batches = list(BatchLoader(FakeDS(), batch_size=2, drop_last=False))
+    shapes = [b["radiance"].shape for b in batches]
+    assert shapes == [(2, 2, 8, 8, 3), (1, 2, 8, 8, 3), (2, 4, 8, 8, 3)]
+    assert batches[1]["radiance"][0, 0, 0, 0, 0] == 2  # the flushed item
+
+    # drop_last=True still drops both the boundary partial and the tail
+    batches = list(BatchLoader(FakeDS(), batch_size=2, drop_last=True))
+    assert [b["radiance"].shape for b in batches] == \
+        [(2, 2, 8, 8, 3), (2, 4, 8, 8, 3)]
+
+
 def test_full_image_dataset_tiling(data_root):
     fn = os.path.join(data_root, "test", "input", "scene0.npy")
     ds = FullImageDataset(fn, 4, "kpcn", use_llpm_buf=True)

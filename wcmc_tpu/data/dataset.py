@@ -571,7 +571,13 @@ class BatchLoader:
         for i in range(len(self.dataset)):
             item = self.dataset[i]
             if pending and self._shapes(item) != self._shapes(pending[0]):
-                pending = []  # drop partial batch at a shape boundary
+                if not self.drop_last:
+                    # flush the partial batch at the shape boundary
+                    yield {
+                        k: np.stack([it[k] for it in pending], axis=0)
+                        for k in pending[0]
+                    }
+                pending = []
             pending.append(item)
             if len(pending) == self.batch_size:
                 yield {

@@ -1,0 +1,140 @@
+"""Device-resident full-frame corpus with on-device patch extraction.
+
+The round-2 convergence experiments overfit a small fixed patch corpus:
+restaging fresh patches from the host every epoch is physically
+impossible on this box (the axon tunnel moves ~6 MB/s while a manifold
+batch is ~300 MB).  The TPU-native fix is to stage full *preprocessed
+frames* on device once and cut fresh random 128-px patches **on
+device** every step — a vmapped ``dynamic_slice`` over the staged
+corpus is pure HBM traffic (sub-millisecond), so patch diversity
+becomes unlimited at zero upload cost.
+
+This replaces the role of the reference's patch importance sampler +
+DataLoader for the convergence experiments (reference
+support/datasets.py:210-270 samples fixed per-image patch lists once
+per run; fresh per-step crops are a strict superset of that
+diversity).  Patch importance sampling is preserved: offsets can be
+drawn from per-scene importance maps on the host (ints are free to
+ship) and passed to the jitted crop.
+
+Layout contract: every batch key is ``(N, [S,] H, W, C)`` with H, W at
+axes -3/-2 — exactly the dicts ``batches.kpcn_batch_from_raw`` /
+``sbmc_batch_from_raw`` produce.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("patch",))
+def _crop_frames(frames: dict, ids, ys, xs, patch: int) -> dict:
+    """Gather ``len(ids)`` patches from the staged corpus.
+
+    frames: dict of (N, [S,] H, W, C); ids/ys/xs: (B,) int32 device or
+    host arrays. Returns dict of (B, [S,] patch, patch, C).
+    """
+
+    def crop_one(key, arr):
+        def one(i, y, x):
+            img = arr[i]
+            start = (0,) * (img.ndim - 3) + (y, x, 0)
+            sizes = img.shape[:-3] + (patch, patch, img.shape[-1])
+            return jax.lax.dynamic_slice(img, start, sizes)
+
+        return jax.vmap(one)(ids, ys, xs)
+
+    return {k: crop_one(k, v) for k, v in frames.items()}
+
+
+class DeviceCorpus:
+    """Full-frame corpus staged on device; serves freshly-cropped
+    batches.
+
+    ``frames``: list of per-scene batch dicts with B=1 leading axis
+    (full-frame versions of the training batch keys).  ``importance``:
+    optional list of per-scene (H', W') numpy maps over valid crop
+    offsets; when given, offsets are importance-sampled instead of
+    uniform (matching the reference's variance-weighted patch sampler,
+    reference support/datasets.py:210-270).
+    """
+
+    def __init__(self, frames: list[dict], patch: int,
+                 importance: list[np.ndarray] | None = None,
+                 cast=None):
+        assert frames, "empty corpus"
+        keys = frames[0].keys()
+        self.patch = patch
+        self.frames = {}
+        for k in keys:
+            stacked = np.concatenate([np.asarray(f[k]) for f in frames],
+                                     axis=0)
+            if cast is not None:
+                # cast on the HOST (numpy supports bf16 via ml_dtypes)
+                # so the device upload ships the narrow dtype — the
+                # axon tunnel moves ~6 MB/s, so staging bytes matter
+                stacked = cast(k, stacked)
+            self.frames[k] = jax.device_put(jnp.asarray(stacked))
+        some = next(iter(self.frames.values()))
+        self.n = some.shape[0]
+        self.h, self.w = some.shape[-3], some.shape[-2]
+        self.max_y = self.h - patch
+        self.max_x = self.w - patch
+        self._cdfs = None
+        if importance is not None:
+            assert len(importance) == self.n
+            self._cdfs = []
+            for m in importance:
+                m = np.asarray(m, np.float64)[: self.max_y + 1,
+                                              : self.max_x + 1]
+                flat = np.maximum(m, 0).ravel()
+                tot = flat.sum()
+                flat = (np.full_like(flat, 1.0 / flat.size)
+                        if tot <= 0 else flat / tot)
+                self._cdfs.append(np.cumsum(flat))
+
+    def nbytes(self) -> int:
+        return sum(int(v.nbytes) for v in self.frames.values())
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int):
+        """Fresh random patches: scene ids uniform, offsets uniform or
+        importance-sampled."""
+        ids = rng.integers(0, self.n, size=batch_size)
+        if self._cdfs is None:
+            ys = rng.integers(0, self.max_y + 1, size=batch_size)
+            xs = rng.integers(0, self.max_x + 1, size=batch_size)
+        else:
+            ys = np.empty(batch_size, np.int64)
+            xs = np.empty(batch_size, np.int64)
+            w = self.max_x + 1
+            for j, i in enumerate(ids):
+                u = rng.random()
+                flat = int(np.searchsorted(self._cdfs[i], u))
+                ys[j], xs[j] = divmod(flat, w)
+        return self.crop(ids, ys, xs)
+
+    def crop(self, ids, ys, xs) -> dict:
+        return _crop_frames(
+            self.frames,
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(ys, jnp.int32),
+            jnp.asarray(xs, jnp.int32),
+            self.patch,
+        )
+
+    def grid_batches(self, batch_size: int, stride: int | None = None):
+        """Deterministic grid of patches (for fixed validation sets)."""
+        stride = stride or self.patch
+        coords = [
+            (i, y, x)
+            for i in range(self.n)
+            for y in range(0, self.max_y + 1, stride)
+            for x in range(0, self.max_x + 1, stride)
+        ]
+        for c0 in range(0, len(coords) - batch_size + 1, batch_size):
+            ids, ys, xs = zip(*coords[c0:c0 + batch_size])
+            yield self.crop(np.array(ids), np.array(ys), np.array(xs))

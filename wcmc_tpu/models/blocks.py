@@ -24,11 +24,49 @@ _ACTIVATIONS: dict[str, Callable] = {
 }
 
 
+class FusedConv(nn.Module):
+    """``nn.Conv``-compatible 2-D conv computed by the fused Pallas
+    implicit-GEMM kernel (ops/conv5.py) on TPU — bias and activation
+    fuse into the store, dgrad reuses the kernel, wgrad stays in XLA.
+    Param tree matches ``nn.Conv`` (kernel (K, K, Cin, Cout) +
+    bias (Cout,), lecun_normal/zeros init) so checkpoints are
+    layout-identical to the unfused chain.
+    """
+
+    features: int
+    ksize: int
+    act: str | None = None
+    pad: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from wcmc_tpu.ops.conv5 import conv2d
+
+        k = self.ksize
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        if self.pad:
+            p = (k - 1) // 2
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        return conv2d(x, w, b, k, self.act)
+
+
 class ConvChain(nn.Module):
     """``depth`` stacked convolutions; hidden activations ReLU, output
     activation configurable.
 
     shrink per conv (``pad=False``): ``ksize - 1`` pixels.
+
+    ``fused=True`` computes each layer with the Pallas implicit-GEMM
+    conv (ops/conv5.py) — same math and param tree, ~1.3x the MXU
+    throughput of XLA's conv emitter at the KPCN 100-channel 5x5
+    shapes. Requires activations in {linear, relu, leaky_relu}.
     """
 
     out_channels: int
@@ -38,10 +76,22 @@ class ConvChain(nn.Module):
     pad: bool = False
     output_type: str = "linear"
     hidden_activation: str = "relu"
+    fused: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            for i in range(self.depth - 1):
+                x = FusedConv(
+                    self.width, self.ksize, act=self.hidden_activation,
+                    pad=self.pad, dtype=self.dtype, name=f"Conv_{i}",
+                )(x)
+            x = FusedConv(
+                self.out_channels, self.ksize, act=None, pad=self.pad,
+                dtype=self.dtype, name=f"Conv_{self.depth - 1}",
+            )(x)
+            return _ACTIVATIONS[self.output_type](x)
         padding = "SAME" if self.pad else "VALID"
         act = _ACTIVATIONS[self.hidden_activation]
         for _ in range(self.depth - 1):

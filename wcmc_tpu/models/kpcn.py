@@ -40,6 +40,14 @@ class KPCN(nn.Module):
     depth: int = 9
     width: int = 100
     dtype: jnp.dtype | None = None   # bf16 compute on TPU; params stay f32
+    # NOTE(perf): fused=True routes the conv chains through the Pallas
+    # implicit-GEMM kernel (ops/conv5.py) — ~1.3x XLA's conv emitter on
+    # the forward pass, but the custom-call boundary breaks XLA's
+    # cross-layer dgrad/wgrad fusions (54.5 -> 59.6 ms/step measured),
+    # so it is reserved for primal-only uses: validation and full-frame
+    # inference. Param tree is identical either way — the same
+    # checkpoint serves both variants.
+    fused: bool = False
 
     @property
     def shrink(self) -> int:
@@ -61,11 +69,12 @@ class KPCN(nn.Module):
         # is f32 regardless).
         k_diffuse = ConvChain(
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
-            pad=False, dtype=self.dtype, name="diffuse",
+            pad=False, fused=self.fused, dtype=self.dtype, name="diffuse",
         )(batch["kpcn_diffuse_in"])
         k_specular = ConvChain(
             self.ksize**2, width=self.width, depth=self.depth, ksize=5,
-            pad=False, dtype=self.dtype, name="specular",
+            pad=False, fused=self.fused, dtype=self.dtype,
+            name="specular",
         )(batch["kpcn_specular_in"])
         kernels = jnp.stack([k_diffuse, k_specular], axis=0)
 

@@ -2,29 +2,37 @@
 
 The reference's KPCN/SBMC backbones spend most of their FLOPs in
 stacked small convolutions (9x 5x5 VALID convs per KPCN branch,
-reference test_models.py:218-219; 3x3 SAME chains in the U-Nets).
-XLA's TPU conv emitter reaches only ~40-60% of the MXU on these
-100-channel shapes (measured on v5e: mid-layer fwd ~100 TFLOP/s,
-conv->441 head ~60 TFLOP/s), while a Pallas kernel issuing one
-per-tap matmul per output row off VMEM-resident operands sustains
-~160-200 TFLOP/s (scripts/bench_mxu_shapes.py).
+reference test_models.py:218-219; 3x3 SAME chains in the PathNet
+U-Nets). XLA's TPU conv emitter is poor on these channel counts
+(measured on v5e: ~100 TFLOP/s on the 100-channel 5x5 layers, and as
+low as ~10-25 TFLOP/s on the 64-channel 3x3 U-Net layers), because the
+per-tap contraction K = Cin pads badly against the 128-wide MXU.
 
-Design (channels-last, no layout changes):
+Kernel design ("dy-packed" implicit GEMM, channels-last, no layout
+changes):
 
-* input block = the full padded image (1, H, W, Cin), VMEM-resident
-  across all row-bands of that image (constant index map on the band
-  axis); weights (K*K, Cin, Cout) VMEM-resident.
-* grid (B, bands); each step computes a band of output rows with a
-  ``fori_loop`` over rows; per row the K*K taps accumulate
-  ``(OW, Cin) @ (Cin, Cout)`` matmuls in an f32 register accumulator
-  (row slabs are leading-dim dynamic loads; x-taps are static sublane
-  slices of the slab).
+* grid (B, row-bands). Each band reads a (TB, W, Cin) main block plus
+  an 8-row halo block (expressible as a second BlockSpec because TB is
+  a multiple of 8), builds the dy-packed patch tensor
+  ``P[(r, x), dy*Cin+ci] = X[r+dy, x, ci]`` by lane-concatenation of K
+  row-shifted slabs — no sublane shuffles — and issues K matmuls
+  ``(TB*W, K*Cin) @ (K*Cin, Cout)``, one per x-tap, applying the dx
+  lane shift once on each f32 partial. The packed contraction
+  K*Cin (500 for the KPCN chains, 192-576 for the U-Nets) fills the
+  MXU's 128-lane K granule that a per-tap K = Cin wastes.
 * bias + activation fuse into the store.
 
-Backward: dgrad reuses the same kernel (full-pad the cotangent,
-flip/transpose the taps); wgrad/bias-grad go through XLA's own
-transposed-conv path (measured at ~80% MXU, the best of the three
-already) via ``jax.vjp`` of a reference conv.
+Backward: the differentiated path stays entirely in XLA (see the
+NOTE(perf) in ``_conv2d_fwd``).
+
+STATUS (v5e, measured): wins layer microbenches (129 vs 96 TFLOP/s
+mid-layer, 149 vs 114 head; scripts/bench_conv5.py) but loses in
+context — train step 54.5 -> 59.6 ms (the custom-call boundary breaks
+XLA's cross-layer autodiff fusions even with an all-XLA vjp), and
+128-px-tile inference 5.8 -> 10.8 ms per 8-tile batch (per-layer band
+padding + unfused epilogues dominate at small H).  Dispatch is
+therefore opt-in (interfaces.BaseInterface._val_model,
+WCMC_FUSED_INFERENCE=1); revisit at wide band shapes (W ~ 1920).
 
 SAME padding is handled by pre-padding in XLA and running VALID.
 """
@@ -47,6 +55,8 @@ _ACTS = {
     "leaky_relu": lambda x: jnp.where(x > 0, x, 0.01 * x),
 }
 
+_HALO = 8   # halo block rows; covers ksize - 1 for ksize <= 9
+
 
 def _act_grad_mask(act, y, g):
     if act in (None, "linear"):
@@ -58,63 +68,70 @@ def _act_grad_mask(act, y, g):
     raise ValueError(act)
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, y_ref, *, ksize, tb, ow, act):
-    """Band kernel: for each x-tap dx, accumulate the K row-taps as
-    full-width (tb, W, Cin) @ (Cin, Cout) matmuls (M = tb*W — big
-    enough to stream the MXU at rate), then apply the dx lane shift
-    ONCE on the f32 partial — K shifts per band instead of K^2 per-tap
-    shuffles, and no im2col copies at all."""
-    t = pl.program_id(1)
-    base = t * tb
+def _conv_kernel(xm_ref, xh_ref, w_ref, b_ref, y_ref, *, ksize, tb, ow, act):
+    xm = xm_ref[0]                       # (TB, W, Cin)
+    xh = xh_ref[0]                       # (8, W, Cin)
+    # dy-packed patches: lane-concat of K row-shifted slabs; the row
+    # shifts are leading-dim slices/concats (tile-plane moves, no
+    # sublane shuffles)
+    slabs = [xm]
+    for dy in range(1, ksize):
+        slabs.append(jnp.concatenate([xm[dy:], xh[:dy]], axis=0))
+    p = jnp.concatenate(slabs, axis=2)   # (TB, W, K*Cin)
+
     cout = y_ref.shape[3]
     out = jnp.zeros((tb, ow, cout), jnp.float32)
     for dx in range(ksize):
-        acc = jnp.zeros((tb, x_ref.shape[2], cout), jnp.float32)
-        for dy in range(ksize):
-            slab = x_ref[0, pl.ds(base + dy, tb)]     # (tb, W, Cin)
-            acc += jax.lax.dot_general(
-                slab, w_ref[dy * ksize + dx],
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        out += acc[:, dx:dx + ow]
+        c = jax.lax.dot_general(
+            p, w_ref[dx], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out += c[:, dx:dx + ow]
     out += b_ref[0]
     y_ref[0] = _ACTS[act](out).astype(y_ref.dtype)
 
 
-def _band_rows(h_out: int, w: int, cin: int, cout: int, ksize: int,
-               itemsize: int = 2) -> int:
-    """Pick the band height: the full-image input block plus the banded
-    output block must fit VMEM with Pallas' double buffering (every
-    block's lane dim physically pads to 128, sublane dim to 8)."""
+def _sub8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _band_rows(h_out: int, w: int, cin: int, cout: int, ksize: int) -> int:
+    """Largest multiple-of-8 band height whose blocks + stack fit VMEM."""
     pad = _pk._lane_pad
-    sub = lambda n: -(-n // 8) * 8
-    in_bytes = sub(h_out + ksize - 1) * sub(w) * pad(cin) * itemsize
-    w_bytes = ksize * ksize * sub(cin) * pad(cout) * itemsize
-    budget = 14 * 1024 * 1024 - 2 * in_bytes - 2 * w_bytes
-    # per band row: double-buffered bf16 output block + two live f32
-    # accumulators (full-width partial + shifted output) on the stack
-    per_row = (sub(w - ksize + 1) * pad(cout) * itemsize * 2
-               + 2 * sub(w) * pad(cout) * 4)
-    tb = budget // per_row
+    plane_in = _sub8(w) * pad(cin) * 2
+    plane_p = _sub8(w) * pad(ksize * cin) * 2
+    plane_acc = _sub8(w) * pad(cout) * 4
+    plane_out_acc = _sub8(w - ksize + 1) * pad(cout) * 4
+    plane_out = _sub8(w - ksize + 1) * pad(cout) * 2
+    w_bytes = ksize * _sub8(ksize * cin) * pad(cout) * 2
+    fixed = 2 * _HALO * plane_in + 2 * w_bytes
+    per_row = (2 * plane_in          # main block, double-buffered
+               + 2 * plane_out       # output block, double-buffered
+               + plane_p + plane_acc + plane_out_acc)   # kernel stack
+    # Empirical: Mosaic's stack allocator reuses the slab/concat
+    # temporaries, but its scoped-vmem accounting inside a large jitted
+    # program is stricter than standalone (a 13 MiB budget compiled
+    # standalone yet OOM'd by 1.1 MiB inside the full train step at the
+    # KPCN mid shape). 9 MiB keeps every model shape compiling with
+    # ~3k-row dots per band (throughput measured unchanged vs 64-row
+    # bands).
+    budget = 9 * 1024 * 1024 - fixed
+    tb = (budget // per_row) // 8 * 8
     if tb < 8:
-        raise ValueError(
-            f"conv2d: image {h_out + ksize - 1}x{w}x{cin}->{cout} does "
-            "not leave VMEM room for an 8-row output band; tile the "
-            "input spatially before calling"
-        )
-    return int(min(h_out, tb))
+        return 0   # does not fit an 8-row band; caller falls back to XLA
+    return int(min(_sub8(h_out), tb, 64))
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "act", "out_dtype"))
 def _conv_fwd_pallas(x, wr, bias, ksize, act, out_dtype):
-    """x (B, H, W, Cin); wr (K*K, Cin, Cout); VALID conv + bias + act."""
+    """x (B, H, W, Cin); wr (K, K*Cin, Cout) dy-packed; VALID conv."""
     b, h, w, cin = x.shape
     cout = wr.shape[-1]
     h_out, w_out = h - ksize + 1, w - ksize + 1
     tb = _band_rows(h_out, w, cin, cout, ksize)
+    assert tb, "caller must check _band_rows > 0 before dispatching"
     n_bands = -(-h_out // tb)
-    hp = n_bands * tb + ksize - 1
+    hp = n_bands * tb + _HALO
     if hp != h:
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
 
@@ -123,7 +140,10 @@ def _conv_fwd_pallas(x, wr, bias, ksize, act, out_dtype):
                           act=act),
         grid=(b, n_bands),
         in_specs=[
-            pl.BlockSpec((1, hp, w, cin), lambda bi, t: (bi, 0, 0, 0),
+            pl.BlockSpec((1, tb, w, cin), lambda bi, t: (bi, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO, w, cin),
+                         lambda bi, t: (bi, (t + 1) * (tb // _HALO), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(wr.shape, lambda bi, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -136,14 +156,16 @@ def _conv_fwd_pallas(x, wr, bias, ksize, act, out_dtype):
         out_shape=jax.ShapeDtypeStruct((b, n_bands * tb, w_out, cout),
                                        out_dtype),
         interpret=_pk.INTERPRET,
-    )(x, wr, bias.reshape(1, -1).astype(jnp.float32))
+    )(x, x, wr, bias.reshape(1, -1).astype(jnp.float32))
     return y[:, :h_out]
 
 
 def _reshape_w(w, dtype):
-    """(K, K, Cin, Cout) -> (K*K, Cin, Cout) in compute dtype."""
-    k = w.shape[0]
-    return w.reshape(k * k, w.shape[2], w.shape[3]).astype(dtype)
+    """(K, K, Cin, Cout) -> dy-packed (K_dx, K_dy*Cin, Cout)."""
+    k, _, cin, cout = w.shape
+    return jnp.transpose(w, (1, 0, 2, 3)).reshape(
+        k, k * cin, cout
+    ).astype(dtype)
 
 
 def _flip_w(w):
@@ -174,14 +196,22 @@ def conv2d(x, w, bias, ksize: int, act: str | None = None):
     f32 params, bias (Cout,) f32. Returns (B, H-K+1, W-K+1, Cout) in
     x.dtype. For SAME padding, pre-pad x by (K-1)//2 on H/W.
     """
-    if _use_pallas():
+    if _use_pallas() and _band_rows(x.shape[1] - ksize + 1, x.shape[2],
+                                    x.shape[3], w.shape[-1], ksize):
         return _conv_fwd_pallas(x, _reshape_w(w, x.dtype), bias, ksize,
                                 act, x.dtype)
     return _conv_xla(x, w, bias, ksize, act)
 
 
 def _conv2d_fwd(x, w, bias, ksize, act):
-    y = conv2d(x, w, bias, ksize, act)
+    # NOTE(perf): under differentiation (training) the conv runs through
+    # XLA, NOT the Pallas kernel: the fwd microbench win (~1.3x at the
+    # KPCN shapes) was measured to LOSE at the full-step level (54.5 ->
+    # 58.9 ms) because the custom-call boundary breaks XLA's
+    # dgrad/wgrad/bias/optimizer fusions around each layer. The Pallas
+    # path serves the primal-only (validation/inference) calls, where
+    # fwd throughput is everything.
+    y = _conv_xla(x, w, bias, ksize, act)
     return y, (x, w, y)
 
 
@@ -189,29 +219,29 @@ def _conv2d_bwd(ksize, act, res, g):
     x, w, y = res
     dz = _act_grad_mask(act, y, g.astype(jnp.float32)).astype(x.dtype)
     k = ksize - 1
-    if _use_pallas():
-        dz_pad = jnp.pad(dz, ((0, 0), (k, k), (k, k), (0, 0)))
-        dx = _conv_fwd_pallas(
-            dz_pad, _reshape_w(_flip_w(w), x.dtype),
-            jnp.zeros((w.shape[2],), jnp.float32), ksize, None, x.dtype,
-        )
-    else:
-        dx = jax.lax.conv_general_dilated(
-            jnp.pad(dz, ((0, 0), (k, k), (k, k), (0, 0))),
-            _flip_w(w).astype(x.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+    # dgrad in XLA for the same reason as the fwd rule above: keeping
+    # the whole differentiated path in XLA preserves its cross-layer
+    # fusions (a Pallas dgrad was net-slower at the step level).
+    dz_pad = jnp.pad(dz, ((0, 0), (k, k), (k, k), (0, 0)))
+    dx = jax.lax.conv_general_dilated(
+        dz_pad, _flip_w(w).astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
 
-    # wgrad via XLA's own transposed-conv path (~80% MXU on v5e)
+    # wgrad via XLA's own transposed-conv path (~80% MXU on v5e).
+    # Pure compute-dtype conv: with bf16 x the cotangent must be bf16
+    # too (mixed-dtype conv transpose is rejected), so dw rounds
+    # through bf16 exactly as the unfused flax nn.Conv(dtype=bf16)
+    # path does (MXU accumulation is f32 either way); the astype
+    # transpose restores f32 param grads.
     def ref_conv(w_):
         return jax.lax.conv_general_dilated(
             x, w_.astype(x.dtype), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
 
-    dw = jax.vjp(ref_conv, w)[1](dz.astype(jnp.float32))[0]
+    dw = jax.vjp(ref_conv, w)[1](dz)[0]
     db = jnp.sum(dz.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dw, db
 

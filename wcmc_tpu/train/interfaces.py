@@ -145,6 +145,29 @@ class BaseInterface(abc.ABC):
                 img,
             )
 
+    def _val_model(self, name: str = "dncnn"):
+        """Model variant for primal-only (validation/inference) steps.
+
+        Backbones exposing a ``fused`` switch (KPCN) can route their
+        conv chains through the Pallas implicit-GEMM kernel
+        (ops/conv5.py) here; the param tree is identical, so both
+        variants share states.  NOTE(perf): default OFF — the kernel
+        wins layer microbenches (~1.3x XLA fwd at KPCN shapes) but
+        LOSES in context on v5e: train step 54.5 -> 59.6 ms (custom-
+        call boundary breaks XLA's cross-layer autodiff fusions) and
+        128-px-tile inference 5.8 -> 10.8 ms per 8-tile batch (per-
+        layer band padding + unfused epilogues).  Re-evaluate at wide
+        band shapes (W ~ 1920) where the band geometry fits; until it
+        wins in context, XLA convs are the production path."""
+        import os
+
+        m = self.models[name]
+        if hasattr(m, "fused") and os.environ.get(
+            "WCMC_FUSED_INFERENCE", "0"
+        ) == "1":
+            return m.clone(fused=True)
+        return m
+
     # -- subclass hooks -----------------------------------------------------
     @abc.abstractmethod
     def _make_train_step(self):
@@ -481,6 +504,7 @@ class KPCNInterface(BaseInterface):
 
     def _make_val_step(self):
         lf = self.loss_funcs
+        dncnn = self._val_model("dncnn")
 
         def step(states, batch):
             params = {n: states[n].params for n in states}
@@ -506,9 +530,7 @@ class KPCNInterface(BaseInterface):
                     [batch["kpcn_specular_in"], mean_s,
                      self._variance_feature(var_s, s)], axis=-1,
                 )
-            out = self.models["dncnn"].apply(
-                {"params": params["dncnn"]}, net_batch
-            )
+            out = dncnn.apply({"params": params["dncnn"]}, net_batch)
             tgt_total = crop_like(batch["target_total"], out["radiance"])
             l_test = lf["l_test"](out["radiance"], tgt_total)
             return out["radiance"], p_buffers, l_test
