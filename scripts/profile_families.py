@@ -1,0 +1,96 @@
+"""Attribute a train-step trace to op families via HLO metadata.
+
+Joins the xplane 'XLA Ops' durations (scripts/analyze_trace.py) with
+the optimized HLO's per-instruction ``metadata={op_name=...}`` to roll
+step time up into semantic families (conv fwd/bwd per branch, UNets,
+PathNet kernels, kernel-apply, FMSE, optimizer, glue copies).  This is
+the measurement behind the per-op budget table in PERF_BUDGET.json and
+the regression guardrail (scripts/check_perf_budget.py).
+
+Usage:
+    python scripts/profile_step.py /tmp/trace_dir      # capture
+    python scripts/profile_families.py /tmp/trace_dir /tmp/step_hlo.txt
+"""
+import collections
+import re
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from analyze_trace import op_events
+
+_META = re.compile(
+    r"%([\w.\-]+) = .*?metadata=\{op_name=\"([^\"]*)\""
+    r"(?:[^}]*?source_file=\"([^\"]*)\")?"
+)
+
+
+def hlo_metadata(hlo_path):
+    """instruction name -> (op_name, source_file)."""
+    meta = {}
+    with open(hlo_path) as f:
+        for line in f:
+            m = _META.search(line)
+            if m:
+                meta[m.group(1)] = (m.group(2), m.group(3) or "")
+    return meta
+
+
+def classify(inst, op_name, source):
+    """Map one instruction to a budget family."""
+    if "pathnet" in source or "mlp_fused" in source or inst.startswith(
+        ("jvp__", "transpose_jvp__")
+    ):
+        return "pathnet_bwd" if "transpose" in inst or "transpose" in op_name \
+            else "pathnet_fwd"
+    if "pallas_kernels" in source or "kernel_apply" in source or inst.startswith(
+        ("gather_tpu", "outer_softmax", "scatter")
+    ):
+        return "kernel_apply"
+    if "losses.py" in source or "feature_mse" in op_name or "manif" in op_name:
+        return "fmse"
+    if "optax" in source or "optax" in op_name:
+        return "optimizer"
+    if re.search(r"transpose\(jvp\(KPCN\)\).*Conv", op_name):
+        return "kpcn_conv_bwd"
+    if re.search(r"jvp\(KPCN\).*Conv", op_name):
+        return "kpcn_conv_fwd"
+    if ("UNet" in op_name or "dual_unet" in op_name
+            or "blocks.py" in source):
+        return "unet"
+    if "KPCN" in op_name:
+        return "kpcn_glue"
+    return "other"
+
+
+def family_times(trace_dir, hlo_path, n_steps=3):
+    meta = hlo_metadata(hlo_path)
+    fams = collections.defaultdict(float)
+    unattributed = collections.defaultdict(float)
+    for name, ms in op_events(trace_dir):
+        inst = name.split(" = ")[0].lstrip("%")
+        op_name, source = meta.get(inst, ("", ""))
+        fam = classify(inst, op_name, source)
+        fams[fam] += ms / n_steps
+        if fam == "other" and not op_name:
+            unattributed[inst.split(".")[0]] += ms / n_steps
+    return dict(fams), dict(unattributed)
+
+
+def main():
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace_step"
+    hlo_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/step_hlo.txt"
+    fams, unattributed = family_times(trace_dir, hlo_path)
+    total = sum(fams.values())
+    print(f"total attributed device time: {total:.2f} ms/step")
+    for fam, ms in sorted(fams.items(), key=lambda kv: -kv[1]):
+        print(f"  {ms:7.3f} ms/step  {fam}")
+    big = {k: v for k, v in unattributed.items() if v > 0.05}
+    if big:
+        print("largest unattributed (no HLO metadata):")
+        for k, v in sorted(big.items(), key=lambda kv: -kv[1])[:10]:
+            print(f"  {v:7.3f} ms/step  {k}")
+
+
+if __name__ == "__main__":
+    main()

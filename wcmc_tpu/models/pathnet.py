@@ -16,7 +16,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from wcmc_tpu.models.blocks import UNet
+from wcmc_tpu.models.blocks import UNet, dual_unet_apply
 
 
 class PathNet(nn.Module):
@@ -106,8 +106,9 @@ def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch,
     MXU), and jax autodiff slices the combined weight gradients back to
     the per-branch parameters through the concat/block-diag ops.
 
-    The UNet context propagation stays per-branch in XLA (different
-    weights, spatial convs).
+    The UNet context propagation runs as one dual pass too — its
+    narrow (64-channel) levels merged block-diagonally, full-width
+    levels per-branch (blocks.dual_unet_apply).
 
     Returns (p_diffuse, p_specular), each (B, S, H, W, outc) f32 —
     identical math to two separate PathNet applies (the off-diagonal
@@ -159,10 +160,12 @@ def dual_pathnet_apply(model_d, params_d, model_s, params_s, batch,
         ksize=3, output_type="leaky_relu", pooling="max",
         dtype=model_d.dtype,
     )
-    ctx_d = unet.apply({"params": params_d["propagation"]},
-                       mean[..., :ic])
-    ctx_s = unet.apply({"params": params_s["propagation"]},
-                       mean[..., ic:])
+    # both branches' context UNets in one pass, narrow levels merged
+    # block-diagonally (see blocks.dual_unet_apply NOTE(perf))
+    ctx_d, ctx_s = dual_unet_apply(
+        unet, params_d["propagation"], params_s["propagation"],
+        mean[..., :ic], mean[..., ic:],
+    )
     ctx = jnp.concatenate(
         [ctx_d, ctx_s], axis=-1
     ).reshape(b, h * w, 2 * ic).astype(jnp.float32)
