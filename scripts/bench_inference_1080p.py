@@ -44,12 +44,33 @@ def main():
     if "--prepare" in sys.argv:
         return
 
+    # default: the measured v5e sweet spot (256-px tiles, bs 8; the
+    # honest sweep: 256/8 416 ms, 128/8 628, 320/8 464, 384/4 515,
+    # full-width bands 826 — XLA conv throughput is ~100-130 TF/s at
+    # every tile size, so halo redundancy sets the ranking until tile
+    # shapes leave the conv emitter's comfort zone)
+    tile_h = tile_w = 256
+    bs = 8
+    if "--tile128" in sys.argv:
+        tile_h = tile_w = None
+    if "--tile_h" in sys.argv:
+        # full-width bands: measured PATHOLOGICAL (413 ms/band at 636
+        # rows — XLA's conv emitter drops to ~10 TF/s on batch-1 huge-
+        # spatial shapes); kept for the record
+        tile_h = int(sys.argv[sys.argv.index("--tile_h") + 1])
+        tile_w = 1984     # full frame width + 2*PAD
+        bs = 1
+    if "--tile" in sys.argv:
+        tile_h = tile_w = int(sys.argv[sys.argv.index("--tile") + 1])
+        bs = int(sys.argv[sys.argv.index("--bs") + 1]) \
+            if "--bs" in sys.argv else 4
     iface = init_interfaces(
         TrainConfig(base_model="kpcn", finite_check_every=10**9)
     )[0]
-    ds = FullImageDataset(f"{ROOT}/test/input/s.npy", SPP, "kpcn")
+    ds = FullImageDataset(f"{ROOT}/test/input/s.npy", SPP, "kpcn",
+                          tile_h=tile_h, tile_w=tile_w)
     print(f"frame {ds.orig_h}x{ds.orig_w} -> padded {ds.h}x{ds.w}, "
-          f"{len(ds)} tiles", flush=True)
+          f"{len(ds)} tiles of {ds.tile_h}x{ds.tile_w}", flush=True)
 
     if "--device" in sys.argv:
         # Device-side projection: chain the jitted val step over ONE
@@ -60,41 +81,52 @@ def main():
         import jax.numpy as jnp
 
         batch = {
-            k: jnp.asarray(np.stack([ds[i][0][k] for i in range(8)]))
+            k: jnp.asarray(np.stack([ds[i][0][k] for i in range(bs)]))
             for k in ds[0][0]
         }
         val = iface._make_val_step()
         states = iface.states
 
+        # batch/states enter as ARGUMENTS: closing over them would
+        # embed hundreds of MB of band data as HLO constants, which
+        # the axon remote-compile tunnel rejects (HTTP 413)
         @jax.jit
-        def chained(n):
+        def chained(n, states, batch):
             def body(i, acc):
-                # thread the carry through an input so the loop body
-                # cannot be hoisted as loop-invariant
-                b2 = dict(batch)
-                b2["kpcn_diffuse_in"] = b2["kpcn_diffuse_in"] + acc * 1e-30
+                # thread the carry through EVERY model input so no
+                # branch of the loop body is loop-invariant (r2's
+                # harness only perturbed kpcn_diffuse_in, so XLA
+                # hoisted the whole specular branch out of the loop
+                # and the frame numbers were ~2x optimistic)
+                b2 = {
+                    k: v + acc * 1e-30 if jnp.issubdtype(
+                        v.dtype, jnp.floating) else v
+                    for k, v in batch.items()
+                }
                 rad, _, _ = val(states, b2)
                 return jnp.sum(rad) * 1e-30
             import jax.lax as lax
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+        _jitted = chained
+        chained = lambda n: _jitted(jnp.int32(n), states, batch)  # noqa: E731
         float(chained(3))
-        n = 30
+        n = 30 if bs == 8 else 10
         t0 = time.time()
         float(chained(n))
         per_batch = (time.time() - t0 - 0.035) / n
-        n_batches = -(-len(ds) // 8)
+        n_batches = -(-len(ds) // bs)
         frame_s = per_batch * n_batches
         mpix = ds.orig_h * ds.orig_w / 1e6
-        print(f"device-side: {per_batch*1e3:.1f} ms/8-tile batch x "
+        print(f"device-side: {per_batch*1e3:.1f} ms/{bs}-tile batch x "
               f"{n_batches} batches -> {frame_s*1e3:.0f} ms/frame "
               f"({mpix/frame_s:.1f} MP/s/chip)", flush=True)
         return
 
     # warm-up (compile)
-    out, _, dt = evaluate.inference(iface, ds, batch_size=8)
+    out, _, dt = evaluate.inference(iface, ds, batch_size=bs)
     print(f"first pass (incl. compile): {dt:.1f}s", flush=True)
-    out, _, dt = evaluate.inference(iface, ds, batch_size=8)
+    out, _, dt = evaluate.inference(iface, ds, batch_size=bs)
     mpix = ds.orig_h * ds.orig_w / 1e6
     print(f"1080p tiled KPCN inference: {dt*1e3:.0f} ms "
           f"-> {mpix/dt:.1f} MP/s/chip (wall; tunnel-bound on this box)",

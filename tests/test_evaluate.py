@@ -82,7 +82,9 @@ def test_auto_padding_nondivisible_frame(tmp_path, kpcn_iface):
         os.path.join(str(root), "test", "input", "s.npy"), 2, "kpcn"
     )
     assert (ds.orig_h, ds.orig_w) == (136, 200)
-    assert (ds.h - 64) % 64 == 0 and (ds.w - 64) % 64 == 0
+    # KPCN default stride 72 / margin 28 (see FullImageDataset)
+    assert (ds.h - 2 * ds.pad_h) % 72 == 0
+    assert (ds.w - 2 * ds.pad_w) % 72 == 0
     out_rad, _, _ = evaluate.inference(kpcn_iface, ds, batch_size=4)
     assert out_rad.shape == (136, 200, 3)
     assert np.isfinite(out_rad).all()
@@ -92,8 +94,10 @@ def test_evaluate_frame_grid(eval_root, kpcn_iface):
     fn = os.path.join(eval_root, "test", "input", "scene0.npy")
     ds = FullImageDataset(fn, 4, "kpcn")
     out_rad, _, _ = evaluate.inference(kpcn_iface, ds, batch_size=4)
+    oh, ow = ds.orig_h, ds.orig_w
     res, res_in = evaluate.evaluate_frame(
-        out_rad, ds.full_tgt, ds.full_ipt, ds.has_hit
+        out_rad, ds.full_tgt[:oh, :ow], ds.full_ipt[:oh, :ow],
+        ds.has_hit[:oh, :ow],
     )
     assert len(res) == 20  # 5 metrics x 4 tonemaps
     for k, v in res.items():
@@ -146,9 +150,9 @@ def test_inference_bounds_in_flight_window(tmp_path, kpcn_iface):
         events.append("dispatch")
         return real_validate(batch)
 
-    def tracked_pad(x, p):
+    def tracked_pad(x, th, tw):
         events.append("assemble")
-        return real_pad(x, p)
+        return real_pad(x, th, tw)
 
     kpcn_iface.validate_batch = tracked_validate
     evaluate._replicate_pad = tracked_pad
@@ -165,3 +169,22 @@ def test_inference_bounds_in_flight_window(tmp_path, kpcn_iface):
     n_batches = events.count("dispatch")
     assert n_batches == len(ds)
     assert peak <= 4, f"peak in-flight {peak} (of {n_batches} batches)"
+
+
+def test_band_tiled_inference_matches_untiled(eval_root, kpcn_iface):
+    """Wide-band device tiles (tile_h x full width) must assemble to
+    the same output as the 128-px tiling and the untiled forward."""
+    fn = os.path.join(eval_root, "test", "input", "scene0.npy")
+    ds_sq = FullImageDataset(fn, 4, "kpcn")
+    out_sq, _, _ = evaluate.inference(kpcn_iface, ds_sq, batch_size=4)
+
+    ds_band = FullImageDataset(fn, 4, "kpcn", tile_h=128, tile_w=192)
+    assert len(ds_band) == 2  # two full-width bands
+    out_band, _, _ = evaluate.inference(kpcn_iface, ds_band, batch_size=1)
+
+    shrink = 20
+    np.testing.assert_allclose(
+        out_band[shrink:-shrink, shrink:-shrink],
+        out_sq[shrink:-shrink, shrink:-shrink],
+        rtol=1e-4, atol=1e-5,
+    )

@@ -365,3 +365,44 @@ def test_gather_softmax_grads_interpret(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gather_wc_tiles():
+    """Training patches pick one lane tile; bands pick wider tiles
+    bounded by the K^2-weight block VMEM budget."""
+    assert pk._gather_wc(108, 21, 2) == 128
+    assert pk._gather_wc(1964, 21, 2) == 128
+    assert pk._gather_wc(1964, 5, 2) == 1024
+    assert pk._gather_wc(1964, 5, 4) == 1024
+
+
+def test_gather_wide_band_interpret(rng):
+    """The 2-D-tiled gather on a multi-row-tile, multi-column-tile
+    shape (forced small lane tiles) matches the XLA reference —
+    the wide-band inference geometry in miniature."""
+    import wcmc_tpu.ops.mlp_fused as mf
+
+    pk.INTERPRET = True
+    orig = pk._gather_wc
+    pk._gather_wc = lambda *a: 128
+    try:
+        b, c = 1, 3
+        h, ow = 40, 300   # 3 row tiles x 3 col tiles, ragged edges
+        buf = jnp.asarray(
+            rng.standard_normal((b, h + K - 1, ow + K - 1, c))
+            .astype(np.float32)
+        )
+        logits = jnp.asarray(
+            rng.standard_normal((b, h, ow, K * K)).astype(np.float32)
+        )
+        got = pk.gather_tpu(buf, logits, K, softmax=True)
+        want = _softmax_gather_ref(buf, logits, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        got2 = pk.gather_tpu(buf, logits, K, softmax=False)
+        want2 = ka._gather_xla(buf, logits, K)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        pk.INTERPRET = False
+        pk._gather_wc = orig

@@ -35,7 +35,28 @@ class FullImageDataset:
         pnet_out_size: int = 3,
         feat_imp: bool = False,
         seed: int = 0,
+        tile_h: int | None = None,
+        tile_w: int | None = None,
+        stride: int | None = None,
     ):
+        """``tile_h``/``tile_w``/``stride`` select the device tiling.
+
+        Defaults: 128 x 128 tiles; stride 72 for KPCN (the tile's FULL
+        72-px VALID output is used, so assembly still equals the
+        untiled forward exactly — reference support/datasets.py:1277
+        strides 64 and discards 8 px/side of computed output, ~27%
+        extra conv work), stride 64 for the sample-space models (SAME
+        convs: the extra interior margin hides boundary effects, so
+        the reference's 64 is behavior-relevant there).
+
+        NOTE(perf): tile sizes > 128 were measured SLOWER on v5e
+        despite less halo redundancy — XLA's conv emitter drops from
+        ~240 TF/s at 128-px tiles to ~100 TF/s at 256 px and ~10 TF/s
+        on full-width batch-1 bands (scripts/bench_inference_1080p.py
+        --tile/--tile_h), so 128 is the sweet spot. Any size that fits
+        HBM is legal (the Pallas gather is fully 2-D tiled).  Tile
+        dims must be multiples of 4 (the PathNet UNet pools 2 levels).
+        """
         if base_model not in ("kpcn", "sbmc", "lbmc"):
             raise RuntimeError(f"Unknown baseline model {base_model}")
         assert os.sep + "input" + os.sep in in_fn, in_fn
@@ -79,20 +100,33 @@ class FullImageDataset:
             self.full_tgt = sample["target_image"]
         self.has_hit = np.repeat(self.has_hit, 3, axis=-1)
 
-        # Auto-pad to the tile grid: the stride-64 decomposition needs
+        # Auto-pad to the tile grid: the stride decomposition needs
         # (H - 2*pad) % stride == 0 (the reference asserts instead,
         # datasets.py:1278, which rejects e.g. 1920x1080 frames).
         # Replicate-pad on the bottom/right; evaluate.inference crops
         # the canvas back to (orig_h, orig_w).
-        stride = PATCH_SIZE - 2 * PAD_SIZE
+        self.tile_h = th = tile_h or PATCH_SIZE
+        self.tile_w = tw = tile_w or PATCH_SIZE
+        assert th % 4 == 0 and tw % 4 == 0, (th, tw)
+        # per-side interior margin; must cover the model's half-shrink
+        # (28 for KPCN d9/k21 — its full VALID output is then used)
+        if stride is not None:
+            pad = (th - stride) // 2
+        else:
+            pad = 28 if base_model == "kpcn" else PAD_SIZE
+        assert 0 < pad <= PAD_SIZE, (stride, pad)
+        self.pad_h = self.pad_w = pad
+        pad_h = pad_w = pad
+        stride_h, stride_w = th - 2 * pad, tw - 2 * pad
         self.orig_h, self.orig_w = h, w
 
-        def _padded(n):
-            n_eff = max(n, PATCH_SIZE)
-            rem = (n_eff - 2 * PAD_SIZE) % stride
+        def _padded(n, tile, pad, stride):
+            n_eff = max(n, tile)
+            rem = (n_eff - 2 * pad) % stride
             return n_eff + (stride - rem) % stride
 
-        ph, pw = _padded(h), _padded(w)
+        ph = _padded(h, th, pad_h, stride_h)
+        pw = _padded(w, tw, pad_w, stride_w)
         if (ph, pw) != (h, w):
             def pad_hw(arr, h_axis):
                 pad = [(0, 0)] * arr.ndim
@@ -113,21 +147,15 @@ class FullImageDataset:
                 sample[k] = np.transpose(v, (2, 0, 1, 3))
 
         self.samples, self.coords = [], []
-        for i in range(0, h - 2 * PAD_SIZE, stride):
-            for j in range(0, w - 2 * PAD_SIZE, stride):
-                i_start = 0 if i == 0 else i + PAD_SIZE
-                j_start = 0 if j == 0 else j + PAD_SIZE
-                i_end = (
-                    i + PATCH_SIZE if i == h - PATCH_SIZE
-                    else i + PATCH_SIZE - PAD_SIZE
-                )
-                j_end = (
-                    j + PATCH_SIZE if j == w - PATCH_SIZE
-                    else j + PATCH_SIZE - PAD_SIZE
-                )
+        for i in range(0, h - 2 * pad_h, stride_h):
+            for j in range(0, w - 2 * pad_w, stride_w):
+                i_start = 0 if i == 0 else i + pad_h
+                j_start = 0 if j == 0 else j + pad_w
+                i_end = i + th if i == h - th else i + th - pad_h
+                j_end = j + tw if j == w - tw else j + tw - pad_w
                 self.coords.append((i_start, j_start, i_end, j_end, i, j))
                 self.samples.append({
-                    k: v[..., i:i + PATCH_SIZE, j:j + PATCH_SIZE, :]
+                    k: v[..., i:i + th, j:j + tw, :]
                     for k, v in sample.items()
                 })
 

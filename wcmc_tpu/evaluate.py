@@ -43,11 +43,12 @@ TMAPS = [
 TMAP_NAMES = ["linear", "reinhard", "gamma22", "gamma28"]
 
 
-def _replicate_pad(tile: np.ndarray, target: int) -> np.ndarray:
-    """Edge-replicate a (B, h, w, C) tile back to (B, target, target, C)
+def _replicate_pad(tile: np.ndarray, target_h: int,
+                   target_w: int) -> np.ndarray:
+    """Edge-replicate a (B, h, w, C) tile back to (B, th, tw, C)
     (reference test_models.py:67-70)."""
-    pad_h = target - tile.shape[1]
-    pad_w = target - tile.shape[2]
+    pad_h = target_h - tile.shape[1]
+    pad_w = target_w - tile.shape[2]
     if pad_h == 0 and pad_w == 0:
         return tile
     return np.pad(
@@ -95,7 +96,11 @@ def inference(interface, dataset: FullImageDataset, batch_size: int = 8):
         nonlocal out_path
         coords = [dataset[i][1] for i in idxs]
         out = np.asarray(out_dev)
-        out = _replicate_pad(out, PATCH_SIZE)
+        out = _replicate_pad(
+            out,
+            getattr(dataset, "tile_h", PATCH_SIZE),
+            getattr(dataset, "tile_w", PATCH_SIZE),
+        )
 
         if use_paths and out_path is None:
             if isinstance(p_buffers, dict):
@@ -193,9 +198,31 @@ def denoise(
     save_figures: bool = False,
     rhf: bool = False,
     feat_imp: bool = False,
-    batch_size_fn=lambda spp: 8 if spp <= 32 else 4,
+    batch_size_fn=None,
+    tile_h: int | None = None,
+    tile_w: int | None = None,
 ):
-    """Scene x spp evaluation sweep -> nested results dict + CSVs."""
+    """Scene x spp evaluation sweep -> nested results dict + CSVs.
+
+    ``tile_h``/``tile_w`` select the device tile size (see
+    FullImageDataset); with band tiles the batch size defaults to 1.
+    """
+    if tile_h is None and tile_w is None and base_model == "kpcn" \
+            and not use_llpm_buf:
+        # NOTE(perf): 256-px tiles are the measured device sweet spot
+        # for the pure-conv KPCN (v5e sweep in
+        # scripts/bench_inference_1080p.py: 416 ms/1080p-frame vs 628
+        # at the reference's 128/64 tiling) and the assembled output
+        # is still exactly the untiled forward (28-px interior margin
+        # == the model's half-shrink). llpm models keep 128: the
+        # PathNet UNet's context is tile-global, so tile size is
+        # behavior-relevant there and 128 matches the reference.
+        tile_h = tile_w = 256
+    if batch_size_fn is None:
+        if (tile_h or PATCH_SIZE) * (tile_w or PATCH_SIZE) > 256 * 256:
+            batch_size_fn = lambda spp: 1  # noqa: E731 — band tiles
+        else:
+            batch_size_fn = lambda spp: 8 if spp <= 32 else 4  # noqa: E731
     assert os.path.isdir(input_dir), input_dir
     gt_dir = input_dir.replace(os.sep + "input", os.sep + "gt")
     if scenes is None:
@@ -212,7 +239,7 @@ def denoise(
             ds = FullImageDataset(
                 os.path.join(input_dir, scene + ".npy"), spp, base_model,
                 use_g_buf, use_sbmc_buf, use_llpm_buf, pnet_out_size,
-                feat_imp=feat_imp,
+                feat_imp=feat_imp, tile_h=tile_h, tile_w=tile_w,
             )
             out_rad, out_path, dt = inference(
                 interface, ds, batch_size_fn(spp)
@@ -243,18 +270,22 @@ def denoise(
                 sdir = os.path.join(output_dir, scene)
                 os.makedirs(sdir, exist_ok=True)
                 crop = (PATCH_SIZE - VALID_SIZE) // 2
+                # full_tgt/full_ipt carry the tile-grid auto-padding;
+                # crop to the original frame like out_rad
+                tgt = ds.full_tgt[:oh, :ow]
+                ipt = ds.full_ipt[:oh, :ow]
                 err = M.RelMSE(
                     out_rad[crop:-crop, crop:-crop],
-                    ds.full_tgt[crop:-crop, crop:-crop],
+                    tgt[crop:-crop, crop:-crop],
                     reduce=False,
-                ).reshape(ds.full_tgt[crop:-crop, crop:-crop].shape)
+                ).reshape(tgt[crop:-crop, crop:-crop].shape)
                 plt.imsave(
                     os.path.join(sdir, "target.png"),
-                    TMAPS[-1](ds.full_tgt),
+                    TMAPS[-1](tgt),
                 )
                 plt.imsave(
                     os.path.join(sdir, f"input_{spp}.png"),
-                    TMAPS[-1](ds.full_ipt),
+                    TMAPS[-1](ipt),
                 )
                 plt.imsave(
                     os.path.join(sdir, f"output_{spp}.png"),

@@ -206,6 +206,10 @@ def kernel_apply(buf, kernels, ksize: int, softmax: bool = True):
       softmax: normalize each pixel's K*K window with a softmax.
     Returns:
       (B, h, w, C) reconstruction.
+
+    Any frame size that fits HBM is legal — the Pallas gather is fully
+    2-D tiled (pallas_kernels.gather_tpu), so full-width 1080p bands
+    work as well as 128-px training patches.
     """
     if softmax:
         # fused path: softmax + its VJP computed inside the Pallas

@@ -77,6 +77,23 @@ def _scatter_tile_rows(h: int, w: int, ksize: int, c: int = 3) -> int:
     return min(h, max(16, (int(th) // 16) * 16))
 
 
+def _gather_wc(ow: int, ksize: int, w_itemsize: int) -> int:
+    """Lane (column) tile width for the 2-D-tiled gather.  The VMEM
+    bill per lane tile: the double-buffered K^2-weight block PLUS
+    Mosaic's kernel stack, whose dominant term is the softmax/tap
+    chain of per-channel (th, wc) f32 temporaries (~2 full f32 copies
+    of the weight tile; measured: wc=256 at K=21 scoped 22.9 MiB).
+    Pick the largest 128-multiple that keeps the sum under ~13 MiB."""
+    budget = 13 * 1024 * 1024
+    th = _DEF_TILE_ROWS
+    for wc in (1024, 512, 256, 128):
+        k2 = ksize * ksize
+        need = 2 * k2 * th * wc * w_itemsize + 2 * k2 * th * wc * 4
+        if wc <= _lane_pad(ow) and need <= budget:
+            return wc
+    return 128
+
+
 def _to_cmajor(x):
     return jnp.transpose(x, (0, 3, 1, 2))
 
@@ -122,27 +139,46 @@ def _aligned_dy_slab(ref, i, tile_rows, dy):
     load plus a static sub-slice. Mosaic rejects dynamic sublane offsets
     that are not provably multiples of 8 once a row spans more than one
     128-lane tile (W > 128), so the unaligned part of the offset must be
-    static."""
+    static.  (Used by the outer kernels, which keep the whole buffer
+    VMEM-resident — they only run at training patch sizes; the gather
+    below is fully 2-D tiled instead.)"""
     base, off = (dy // 8) * 8, dy % 8
     slab = ref[0, :, pl.ds(i * tile_rows + base, tile_rows + 8), :]
     return slab[:, off:off + tile_rows, :]
 
 
-def _gather_kernel(buf_ref, w_ref, out_ref, *, ksize, tile_rows, out_w,
-                   softmax=False):
-    i = pl.program_id(1)
-    c = buf_ref.shape[1]
+def _gather_kernel(*refs, ksize, tile_rows, wc, n_h8, softmax):
+    """2-D-tiled gather: the buffer tile arrives as (1 + n_h8) x 2
+    blocks (row main + 8-row halos, each with a 128-lane column halo);
+    the kernel reassembles the (c, tile_rows + 8*n_h8, wc + 128) tile
+    by static concatenation — row shifts then become static slices
+    (Mosaic rejects unaligned dynamic sublane offsets once a row spans
+    more than one 128-lane tile)."""
+    n_buf = (1 + n_h8) * 2
+    buf_refs, w_ref, out_ref = refs[:n_buf], refs[-2], refs[-1]
+    left = jnp.concatenate([r[0] for r in buf_refs[:1 + n_h8]], axis=1)
+    right = jnp.concatenate([r[0] for r in buf_refs[1 + n_h8:]], axis=1)
+    full = jnp.concatenate([left, right], axis=2)
+    c = full.shape[0]
     if softmax:
         m, inv = _softmax_stats(w_ref, ksize)
-    acc = jnp.zeros((c, tile_rows, out_w), jnp.float32)
+    acc = jnp.zeros((c, tile_rows, wc), jnp.float32)
     for dy in range(ksize):
-        slab = _aligned_dy_slab(buf_ref, i, tile_rows, dy)
+        slab = full[:, dy:dy + tile_rows, :]
         for dx in range(ksize):
             tap = w_ref[0, dy * ksize + dx, :, :].astype(jnp.float32)
             if softmax:
                 tap = jnp.exp(tap - m) * inv
-            acc = acc + tap[None, :, :] * slab[:, :, dx:dx + out_w]
+            acc = acc + tap[None, :, :] * slab[:, :, dx:dx + wc]
     out_ref[0] = acc
+
+
+def _pad_to(x, axis: int, size: int):
+    if x.shape[axis] >= size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, size - x.shape[axis])
+    return jnp.pad(x, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "softmax"))
@@ -151,42 +187,76 @@ def gather_tpu(buf, w, ksize, softmax=False):
 
     With ``softmax`` the per-pixel K^2 softmax is computed in-kernel
     from logits ``w`` (the KPCN hot path), so the 146 MB probability
-    tensor never exists in HBM."""
+    tensor never exists in HBM.  Fully 2-D tiled: only (16, wc) weight
+    tiles and small haloed buffer tiles are VMEM-resident, so any
+    frame size that fits HBM is legal (full-width 1080p bands
+    included); the dominant K^2 weight tensor is still read exactly
+    once."""
     b, H, W, c = buf.shape
     h, ow = H - ksize + 1, W - ksize + 1
     assert h > 0 and ow > 0, (
         f"gather: buffer {H}x{W} smaller than kernel window {ksize}"
     )
-    th = _tile_rows(h)
-    n_tiles = -(-h // th)
-    hp = n_tiles * th
-    # +8 beyond the kernel halo: _aligned_dy_slab over-reads up to 8
-    # rows past i*th + (ksize-1)
-    Hp = hp + ((ksize - 1) // 8) * 8 + 8
-    buf_t = _pad_rows(_to_cmajor(buf).astype(jnp.float32), Hp)
+    assert ksize <= 129, "column halo is a single 128-lane block"
+    # th is always 16 (arrays are padded up for h < 16): the halo-row
+    # blocks' index maps count in th//8 units, and 16 satisfies both
+    # the f32 (8) and bf16 (16) sublane granule
+    th = _DEF_TILE_ROWS
+    wc = _gather_wc(ow, ksize, w.dtype.itemsize)
+    n_row = -(-h // th)
+    n_col = -(-ow // wc)
+    n_h8 = -(-(ksize - 1) // 8)
+    hp, wp = n_row * th, n_col * wc
+
+    buf_t = _to_cmajor(buf).astype(jnp.float32)
+    buf_t = _pad_to(_pad_to(buf_t, 2, hp + 8 * n_h8), 3, wp + 128)
     # logits stay in their dtype (bf16 on TPU): halves the HBM traffic
-    # of the dominant K^2-channel tensor; softmax math is f32 in-kernel
-    w_t = _pad_rows(_to_cmajor(w), hp)
+    # of the dominant K^2-channel tensor; softmax math is f32 in-kernel.
+    # Padded rows/columns only affect padded pixels' own softmax
+    # partitions (each pixel's softmax is private to its K^2 channels),
+    # and those pixels are cropped below — no masking needed.
+    w_t = _pad_to(_pad_to(_to_cmajor(w), 2, hp), 3, wp)
+
+    q = wc // 128
+    in_specs = []
+    # row blocks x column blocks of the buffer tile (+halos)
+    for r in range(1 + n_h8):
+        rows = th if r == 0 else 8
+        idx_r = (lambda bi, i, j, rr=r: (bi, 0, i, j)) if r == 0 else (
+            lambda bi, i, j, rr=r: (bi, 0, (th // 8) * i + th // 8 + rr - 1, j)
+        )
+        in_specs.append(pl.BlockSpec(
+            (1, c, rows, wc), idx_r, memory_space=pltpu.VMEM,
+        ))
+    for r in range(1 + n_h8):
+        rows = th if r == 0 else 8
+        if r == 0:
+            idx = lambda bi, i, j: (bi, 0, i, q * j + q)
+        else:
+            idx = (lambda bi, i, j, rr=r:
+                   (bi, 0, (th // 8) * i + th // 8 + rr - 1, q * j + q))
+        in_specs.append(pl.BlockSpec(
+            (1, c, rows, 128), idx, memory_space=pltpu.VMEM,
+        ))
+    in_specs.append(pl.BlockSpec(
+        (1, ksize * ksize, th, wc), lambda bi, i, j: (bi, 0, i, j),
+        memory_space=pltpu.VMEM,
+    ))
 
     out = pl.pallas_call(
         functools.partial(
-            _gather_kernel, ksize=ksize, tile_rows=th, out_w=ow,
+            _gather_kernel, ksize=ksize, tile_rows=th, wc=wc, n_h8=n_h8,
             softmax=softmax,
         ),
-        grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, c, Hp, W), lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ksize * ksize, th, ow),
-                         lambda bi, i: (bi, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, c, th, ow), lambda bi, i: (bi, 0, i, 0),
+        grid=(b, n_row, n_col),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, c, th, wc),
+                               lambda bi, i, j: (bi, 0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, hp, ow), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),
         interpret=INTERPRET,
-    )(buf_t, w_t)
-    return _to_nhwc(out[:, :, :h]).astype(buf.dtype)
+    )(*([buf_t] * (2 * (1 + n_h8))), w_t)
+    return _to_nhwc(out[:, :, :h, :ow]).astype(buf.dtype)
 
 
 # ---------------------------------------------------------------------------
