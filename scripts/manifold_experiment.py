@@ -65,6 +65,18 @@ def stage(frames, patch, val_frac=0.0):
     return DeviceCorpus(frames, patch=patch, cast=bf16_cast)
 
 
+def strip_llpm(batch):
+    """Shared corpus -> vanilla view: drop the paths tensor and the
+    path-weight channel (the last channel batches.kpcn_batch_from_raw
+    appends under use_llpm_buf)."""
+    batch = dict(batch)
+    if "paths" in batch:
+        del batch["paths"]
+        batch["kpcn_diffuse_in"] = batch["kpcn_diffuse_in"][..., :-1]
+        batch["kpcn_specular_in"] = batch["kpcn_specular_in"][..., :-1]
+    return batch
+
+
 def make_chunk_runner(iface, corpus, chunk):
     """One jitted call: scan `chunk` train steps over freshly-cropped
     device patches."""
@@ -76,12 +88,15 @@ def make_chunk_runner(iface, corpus, chunk):
     raw_step = iface._make_train_step()
     frames = corpus.frames
     patch = corpus.patch
+    strip = not iface.use_llpm_buf
 
     @jax.jit
     def run_chunk(states, ids, ys, xs, key):
         def body(states, inp):
             i, y, x, j = inp
             batch = _crop_frames(frames, i, y, x, patch)
+            if strip:
+                batch = strip_llpm(batch)
             states, ld = raw_step(states, batch, jax.random.fold_in(key, j))
             return states, ld
 
@@ -101,6 +116,8 @@ def val_relmse(iface, val_batches):
 
     vals, inputs = [], []
     for b in val_batches:
+        if not iface.use_llpm_buf:
+            b = strip_llpm(b)
         out, _ = iface.validate_batch(b)
         out = np.asarray(out)
         tgt = np.asarray(crop_like(b["target_total"], jnp.asarray(out)))

@@ -98,3 +98,32 @@ def test_set_learning_rate_raises_without_hyperparams():
     opt_state = tx.init({"w": np.zeros((3,), np.float32)})
     with _pytest.raises(ValueError, match="learning_rate"):
         set_learning_rate(opt_state, 1e-5)
+
+
+def test_warmup_scales_updates_and_keeps_mutable_lr():
+    """adam_with_clip(warmup_steps=N) ramps the update linearly while
+    set_learning_rate still finds the injected hyperparameter."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wcmc_tpu.train.state import adam_with_clip
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+
+    tx = adam_with_clip(1e-2, clip_norm=1000.0, warmup_steps=4)
+    st = tx.init(params)
+    u1, st = tx.update(grads, st, params)
+    u2, st = tx.update(grads, st, params)
+
+    tx0 = adam_with_clip(1e-2, clip_norm=1000.0)
+    st0 = tx0.init(params)
+    v1, st0 = tx0.update(grads, st0, params)
+    v2, st0 = tx0.update(grads, st0, params)
+
+    # step 1 scaled by 1/4, step 2 by 2/4 of the unwarmed update
+    np.testing.assert_allclose(u1["w"], v1["w"] * 0.25, rtol=1e-6)
+    np.testing.assert_allclose(u2["w"], v2["w"] * 0.5, rtol=1e-6)
+
+    set_learning_rate(st, 5e-4)
+    assert get_learning_rate(st) == pytest.approx(5e-4)

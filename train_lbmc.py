@@ -76,6 +76,7 @@ def make_config(args) -> TrainConfig:
         disentangle=args.disentangle,
         seed=args.seed,
         compute_dtype=getattr(args, 'compute_dtype', 'bfloat16'),
+        warmup_steps=getattr(args, "warmup_steps", 0),
     )
 
 
@@ -131,6 +132,9 @@ if __name__ == "__main__":
     parser.add_argument("--use_g_buf", action="store_false")
     parser.add_argument("--lr_dncnn", type=float, default=1e-4,
                         help="learning rate of the LBMC denoiser.")
+    parser.add_argument("--warmup_steps", type=int, default=500,
+                        help="linear update warmup (TPU extension; 0 "
+                             "restores the reference's cold start)")
     add_manifold_flags(parser)
     args = parser.parse_args()
     validate_manifold_flags(args)

@@ -78,6 +78,7 @@ def make_config(args) -> TrainConfig:
         seed=args.seed,
         compute_dtype=getattr(args, 'compute_dtype', 'bfloat16'),
         sbmc_ksize=getattr(args, "sbmc_ksize", 21),
+        warmup_steps=getattr(args, "warmup_steps", 0),
     )
 
 
@@ -132,6 +133,11 @@ if __name__ == "__main__":
                         help="use the sbmc-specific buffer.")
     parser.add_argument("--sbmc_ksize", type=int, default=21,
                         help="splatting kernel width (TPU extension).")
+    parser.add_argument("--warmup_steps", type=int, default=500,
+                        help="linear update warmup (TPU extension; 0 "
+                             "restores the reference's cold start — at "
+                             "lr 5e-4 that can saturate the output head "
+                             "on small corpora, see state.adam_with_clip)")
     add_manifold_flags(parser)
     args = parser.parse_args()
     validate_manifold_flags(args)

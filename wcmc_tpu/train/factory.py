@@ -60,6 +60,8 @@ class TrainConfig:
     sbmc_ksize: int = 21
     finite_check_every: int = 100
     compute_dtype: str = "bfloat16"   # activations; params/optimizer stay f32
+    # linear update warmup (sample-space models; see state.adam_with_clip)
+    warmup_steps: int = 0
 
     @property
     def model_dtype(self):
@@ -275,7 +277,8 @@ def _sbmc_like_build(cfg, lr_pnet, pnet_out, key, model_ctor, clip_norm):
     keys = jax.random.split(key, len(models))
     for k, (name, module) in zip(keys, models.items()):
         lr = cfg.lr_dncnn if name == "dncnn" else lr_pnet
-        tx = adam_with_clip(lr, clip_norm=clip_norm)
+        tx = adam_with_clip(lr, clip_norm=clip_norm,
+                            warmup_steps=cfg.warmup_steps)
         s = dncnn_sample if name == "dncnn" else base
         states[name] = init_model_state(module, s, tx, k)
         optims["optim_" + name] = tx

@@ -30,7 +30,8 @@ def init_model_state(module, sample_batch, tx, key=None) -> ModelState:
 
 
 def adam_with_clip(lr, clip_value: float | None = None,
-                   clip_norm: float | None = None):
+                   clip_norm: float | None = None,
+                   warmup_steps: int = 0):
     """Adam preceded by the reference's gradient clipping flavor
     (value clip for KPCN, global-norm clip for SBMC/LBMC;
     reference interfaces.py:261,454-458,826-832).
@@ -46,6 +47,14 @@ def adam_with_clip(lr, clip_value: float | None = None,
     the same math at HBM bandwidth (<0.5 ms). Clipping semantics are
     unchanged: value clip is elementwise and the global norm is
     layout-invariant.
+
+    ``warmup_steps > 0`` multiplies the update by a linear 0->1 ramp
+    over that many steps (reference support/: none — TPU extension;
+    at the reference's SBMC lr 5e-4 the first optimizer steps on a
+    small corpus saturate the output head's ReLUs, observed in the r2
+    capacity study, and a short warmup removes that failure mode
+    without touching the mutable learning-rate hyperparameter that
+    ``set_learning_rate`` / the LBMC StepLR scheduler edit in place).
     """
     chain = []
     if clip_value is not None:
@@ -53,6 +62,10 @@ def adam_with_clip(lr, clip_value: float | None = None,
     if clip_norm is not None:
         chain.append(optax.clip_by_global_norm(clip_norm))
     chain.append(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+    if warmup_steps:
+        chain.append(optax.scale_by_schedule(
+            lambda step: jnp.minimum(1.0, (step + 1) / warmup_steps)
+        ))
     return optax.flatten(optax.chain(*chain))
 
 
