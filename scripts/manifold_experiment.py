@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# honor JAX_PLATFORMS=cpu for smoke runs (the env var alone is
+# sometimes ignored when the axon plugin is registered)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "experiments", "manifold")
 
@@ -30,20 +37,41 @@ CONFIGS = {
     "vanilla": dict(use_llpm_buf=False, manif_learn=False, manif_loss=None),
     "fmse": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE"),
     "grs": dict(use_llpm_buf=True, manif_learn=True, manif_loss="GRS"),
+    # ablation surface (reference interfaces.py:526-750)
+    "m10r01": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE",
+                   disentangle="m10r01", pnet_out_size=(4,)),
+    "kpcn_ref": dict(use_llpm_buf=False, manif_learn=False, manif_loss=None,
+                     kpcn_ref=True),
+    # two-phase: run() trains manifold-only then frozen-backbone KPCN
+    "kpcn_pre": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE",
+                     kpcn_pre=True),
 }
 
 
 def build_frames(n_scenes, size, spp, seed, use_llpm):
-    """Host-side: synthetic scenes -> full-frame KPCN batch dicts."""
+    """Synthetic scenes -> full-frame KPCN batch dicts, preprocessed
+    ON DEVICE: the host only generates the raw dump (~4 s/scene on
+    this one-core box) and ships it once (~27 MB); the jax feature
+    pipeline (batches.kpcn_batch_from_raw) runs on the chip and the
+    result stays device-resident in its staging dtype — host-side
+    preprocessing was 18 s/scene and was the staging bottleneck."""
+    import functools
+
+    import jax
+
     from wcmc_tpu.data import synthetic
     from wcmc_tpu.data.batches import kpcn_batch_from_raw
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def prep(raw, gt):
+        f = kpcn_batch_from_raw(raw, gt, use_llpm_buf=use_llpm)
+        return {k: bf16_cast(k, v) for k, v in f.items()}
 
     frames = []
     rng = np.random.default_rng(seed)
     for i in range(n_scenes):
         raw, gt = synthetic.synthetic_raw_sample(rng, size, size, spp)
-        f = kpcn_batch_from_raw(raw, gt, use_llpm_buf=use_llpm)
-        frames.append({k: np.asarray(v) for k, v in f.items()})
+        frames.append(prep(raw, gt))
         if (i + 1) % 8 == 0:
             print(f"  built {i + 1}/{n_scenes} scenes", flush=True)
     return frames
@@ -85,10 +113,16 @@ def make_chunk_runner(iface, corpus, chunk):
 
     from wcmc_tpu.data.device_corpus import _crop_frames
 
+    from wcmc_tpu.train import interfaces as itf
+
     raw_step = iface._make_train_step()
     frames = corpus.frames
     patch = corpus.patch
     strip = not iface.use_llpm_buf
+    # KPCNRef applies its target-concat in train_batch, which the scan
+    # bypasses — apply it in the body
+    augment = (iface._augment
+               if isinstance(iface, itf.KPCNRefInterface) else None)
 
     @jax.jit
     def run_chunk(states, ids, ys, xs, key):
@@ -97,6 +131,8 @@ def make_chunk_runner(iface, corpus, chunk):
             batch = _crop_frames(frames, i, y, x, patch)
             if strip:
                 batch = strip_llpm(batch)
+            if augment is not None:
+                batch = augment(batch)
             states, ld = raw_step(states, batch, jax.random.fold_in(key, j))
             return states, ld
 
@@ -135,12 +171,98 @@ def val_relmse(iface, val_batches):
     return float(np.mean(vals)), float(np.mean(inputs))
 
 
+def _train_epochs(iface, run_chunk, corpus, args, epochs, val_batches,
+                  tag, log_fn, rng, key, stage_name, step0=0):
+    """Shared epoch loop: chunks of scanned steps + per-epoch val."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        sums, norm = {}, 0
+        for c in range(args.chunks_per_epoch):
+            coords = np.stack(
+                [corpus.sample_coords(rng, 8) for _ in range(args.chunk)])
+            key = jax.random.fold_in(key, hash(stage_name) % 997 * 100000
+                                     + epoch * 1000 + c)
+            iface.states, lds = run_chunk(
+                iface.states, jnp.asarray(coords[:, 0]),
+                jnp.asarray(coords[:, 1]), jnp.asarray(coords[:, 2]), key)
+            norm += 1
+            for k, v in lds.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        iface.to_eval_mode()
+        rel, rel_in = val_relmse(iface, val_batches)
+        iface.to_train_mode()
+        row = {
+            "epoch": epoch, "stage": stage_name,
+            "steps": step0 + (epoch + 1) * args.chunks_per_epoch * args.chunk,
+            "val_relmse_1e3": round(rel * 1e3, 4),
+            "input_relmse_1e3": round(rel_in * 1e3, 4),
+            "sec": round(time.time() - t0, 1),
+            **{f"train_{k}": round(v / norm, 6) for k, v in sums.items()},
+        }
+        rows.append(row)
+        with open(log_fn, "a") as f:
+            f.write(json.dumps({"config": tag, **row}) + "\n")
+        print(f"[{tag}] {row}", flush=True)
+    return rows
+
+
+def run_kpcn_pre(args, train_corpus, val_batches, seed):
+    """Two-phase KPCNPre schedule (reference interfaces.py:588-750):
+    (a) pre-train the PathNets alone under the manifold loss; (b)
+    train KPCN under the frozen pre-trained PathNets."""
+    import jax
+
+    from wcmc_tpu.train.checkpoint import save_checkpoint
+    from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+
+    common = dict(base_model="kpcn", batch_size=8, spp=8, lr_dncnn=1e-4,
+                  lr_pnet=(1e-4,), w_manif=(0.1,), train_branches=True,
+                  finite_check_every=10**9, seed=seed,
+                  kpcn_ksize=args.ksize, kpcn_pre=True, use_llpm_buf=True)
+    tag = f"kpcn_pre_s{seed}"
+    log_fn = os.path.join(OUT, f"{tag}.jsonl")
+    rng = np.random.default_rng(1000 + seed)
+    key = jax.random.PRNGKey(seed)
+    epochs_a = max(2, args.epochs // 2)
+    epochs_b = max(2, args.epochs - epochs_a)
+
+    cfg_a = TrainConfig(manif_learn=True, manif_loss="FMSE", **common)
+    iface = init_interfaces(cfg_a)[0]
+    iface.to_train_mode()
+    run_chunk = make_chunk_runner(iface, train_corpus, args.chunk)
+    _train_epochs(iface, run_chunk, train_corpus, args, epochs_a,
+                  val_batches, tag, log_fn, rng, key, "pretrain")
+
+    cfg_b = TrainConfig(manif_learn=False, manif_loss=None, **common)
+    iface_b = init_interfaces(cfg_b)[0]
+    iface_b.states = {
+        n: iface_b.states[n].replace(params=iface.states[n].params)
+        for n in iface_b.states
+    }
+    iface_b.to_train_mode()
+    run_chunk_b = make_chunk_runner(iface_b, train_corpus, args.chunk)
+    rows = _train_epochs(iface_b, run_chunk_b, train_corpus, args,
+                         epochs_b, val_batches, tag, log_fn, rng, key,
+                         "frozen",
+                         step0=epochs_a * args.chunks_per_epoch * args.chunk)
+    save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface_b,
+                    epoch=epochs_b - 1)
+    return rows
+
+
 def run(name, overrides, args, train_corpus, val_batches, seed):
     import jax
 
     from wcmc_tpu.train.checkpoint import save_checkpoint
     from wcmc_tpu.train.factory import TrainConfig, init_interfaces
     from wcmc_tpu.train.state import set_learning_rate
+
+    if overrides.get("kpcn_pre"):
+        return run_kpcn_pre(args, train_corpus, val_batches, seed)
 
     cfg = TrainConfig(
         base_model="kpcn", batch_size=8, spp=8,

@@ -70,7 +70,17 @@ class DeviceCorpus:
         keys = frames[0].keys()
         self.patch = patch
         self.frames = {}
+        device_resident = isinstance(frames[0][next(iter(keys))],
+                                     jax.Array)
         for k in keys:
+            if device_resident:
+                # frames were preprocessed on device (and cast there):
+                # stack on device — a host round-trip would cost two
+                # tunnel crossings per byte
+                self.frames[k] = jnp.concatenate(
+                    [f[k] for f in frames], axis=0
+                )
+                continue
             stacked = np.concatenate([np.asarray(f[k]) for f in frames],
                                      axis=0)
             if cast is not None:
@@ -100,9 +110,9 @@ class DeviceCorpus:
     def nbytes(self) -> int:
         return sum(int(v.nbytes) for v in self.frames.values())
 
-    def sample_batch(self, rng: np.random.Generator, batch_size: int):
-        """Fresh random patches: scene ids uniform, offsets uniform or
-        importance-sampled."""
+    def sample_coords(self, rng: np.random.Generator, batch_size: int):
+        """(3, B) int array of fresh (scene id, y, x) crop coordinates:
+        ids uniform, offsets uniform or importance-sampled."""
         ids = rng.integers(0, self.n, size=batch_size)
         if self._cdfs is None:
             ys = rng.integers(0, self.max_y + 1, size=batch_size)
@@ -115,6 +125,11 @@ class DeviceCorpus:
                 u = rng.random()
                 flat = int(np.searchsorted(self._cdfs[i], u))
                 ys[j], xs[j] = divmod(flat, w)
+        return np.stack([ids, ys, xs])
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int):
+        """Fresh random patches (see sample_coords)."""
+        ids, ys, xs = self.sample_coords(rng, batch_size)
         return self.crop(ids, ys, xs)
 
     def crop(self, ids, ys, xs) -> dict:
