@@ -1,0 +1,104 @@
+"""Full-frame evaluation of experiment checkpoints on held-out scenes.
+
+Walks experiments/{manifold,sample_space}/*.ckpt, rebuilds the
+matching interface, restores the weights, and runs the standard
+full-frame eval harness (evaluate.denoise: tiled inference, 28-px
+boundary crop, has_hit passthrough, 5x4 metric grid) over the on-disk
+synthetic test set at the requested spps.  CSVs land next to the
+checkpoints in experiments/<dir>/eval/.
+
+Usage:
+    python scripts/make_disk_corpus.py            # once
+    python scripts/eval_experiment_ckpts.py [--spps 4,8] [--glob sbmc]
+"""
+import sys, os, glob, argparse
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.environ.get("WCMC_R3_DATA", "/tmp/wcmc_data/r3corpus")
+
+# tag prefix -> TrainConfig overrides (mirrors the experiment runners)
+KPCN_CONFIGS = {
+    "vanilla": dict(use_llpm_buf=False, manif_learn=False, manif_loss=None),
+    "fmse": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE"),
+    "grs": dict(use_llpm_buf=True, manif_learn=True, manif_loss="GRS"),
+    "m10r01": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE",
+                   disentangle="m10r01", pnet_out_size=(4,)),
+    "kpcn_ref": dict(use_llpm_buf=False, manif_learn=False, manif_loss=None,
+                     kpcn_ref=True),
+    "kpcn_pre": dict(use_llpm_buf=True, manif_learn=False, manif_loss=None,
+                     kpcn_pre=True),
+}
+SS_CONFIGS = {
+    "sbmc": dict(base_model="sbmc", use_llpm_buf=False, manif_learn=False,
+                 manif_loss=None),
+    "sbmc_fmse": dict(base_model="sbmc", use_llpm_buf=True, manif_learn=True,
+                      manif_loss="FMSE"),
+    "lbmc": dict(base_model="lbmc", use_llpm_buf=False, manif_learn=False,
+                 manif_loss=None),
+    "lbmc_fmse": dict(base_model="lbmc", use_llpm_buf=True, manif_learn=True,
+                      manif_loss="FMSE"),
+}
+
+
+def config_for(tag):
+    """'<name>_s<seed>.ckpt' -> (overrides, base_model)."""
+    name = tag.rsplit("_s", 1)[0]
+    if name in KPCN_CONFIGS:
+        return dict(KPCN_CONFIGS[name], base_model="kpcn")
+    if name in SS_CONFIGS:
+        return dict(SS_CONFIGS[name])
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spps", type=str, default="4,8")
+    ap.add_argument("--glob", type=str, default="")
+    ap.add_argument("--dirs", type=str, default="manifold,sample_space")
+    args = ap.parse_args()
+    spps = tuple(int(s) for s in args.spps.split(","))
+
+    from wcmc_tpu import evaluate
+    from wcmc_tpu.train.checkpoint import load_checkpoint, restore_interface
+    from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+
+    assert os.path.isdir(os.path.join(DATA, "test", "input")), (
+        f"{DATA}: run scripts/make_disk_corpus.py first")
+
+    for d in args.dirs.split(","):
+        for ck_fn in sorted(glob.glob(
+                os.path.join(ROOT, "experiments", d, "*.ckpt"))):
+            tag = os.path.basename(ck_fn)[:-5]
+            if args.glob and args.glob not in tag:
+                continue
+            overrides = config_for(tag)
+            if overrides is None:
+                print(f"skip {tag}: unknown config", flush=True)
+                continue
+            out_dir = os.path.join(ROOT, "experiments", d, "eval", tag)
+            if os.path.isfile(os.path.join(out_dir,
+                                           f"results_{spps[-1]}.csv")):
+                print(f"skip {tag}: already evaluated", flush=True)
+                continue
+            base = overrides.pop("base_model")
+            cfg = TrainConfig(base_model=base, finite_check_every=10**9,
+                              **overrides)
+            iface = init_interfaces(cfg)[0]
+            restore_interface(iface, load_checkpoint(ck_fn))
+            print(f"evaluating {tag} ({base}) at spp {spps}", flush=True)
+            res = evaluate.denoise(
+                iface, os.path.join(DATA, "test", "input"), base,
+                spps=spps, output_dir=out_dir,
+                use_llpm_buf=cfg.use_llpm_buf,
+            )
+            for (scene, spp), v in sorted(res.items()):
+                print(f"  {tag} {scene}@{spp}: RelMSE "
+                      f"{v['output']['linear_RelMSE']:.6f} "
+                      f"(input {v['input']['linear_RelMSE']:.6f})",
+                      flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,17 +73,38 @@ def build_frames(n_scenes, size, spp, seed):
     return frames
 
 
-def strip_llpm(batch):
-    """llpm superset corpus -> vanilla view (drop paths + the pw
-    feature channel sbmc_batch_from_raw appends last)."""
-    batch = dict(batch)
-    if "paths" in batch:
-        del batch["paths"]
-        batch["features"] = batch["features"][..., :-1]
-    return batch
+def make_view(base, use_llpm):
+    """Superset corpus (g-buf 24 + sbmc p-buf 66 + pw, plus paths) ->
+    the feature slice each config trains on: SBMC keeps everything,
+    LBMC drops the sbmc-specific p-buf block (it runs g-buf only,
+    reference train_lbmc.py:222-231), vanilla configs drop the pw
+    channel and the paths tensor."""
+    import jax.numpy as jnp
+
+    from wcmc_tpu.data import schema
+
+    g_size = schema.ChannelConfig(
+        "sbmc", use_g_buf=True, use_sbmc_buf=False,
+    ).features_size
+
+    def view(batch):
+        b = dict(batch)
+        feats = b["features"]
+        if base == "lbmc":
+            g = feats[..., :g_size]
+            feats = (jnp.concatenate([g, feats[..., -1:]], axis=-1)
+                     if use_llpm else g)
+        elif not use_llpm:
+            feats = feats[..., :-1]
+        b["features"] = feats
+        if not use_llpm:
+            b.pop("paths", None)
+        return b
+
+    return view
 
 
-def make_chunk_runner(iface, corpus):
+def make_chunk_runner(iface, corpus, base):
     import jax
     import jax.numpy as jnp
 
@@ -92,15 +113,13 @@ def make_chunk_runner(iface, corpus):
     raw_step = iface._make_train_step()
     frames = corpus.frames
     patch = corpus.patch
-    strip = not iface.use_llpm_buf
+    view = make_view(base, iface.use_llpm_buf)
 
     @jax.jit
     def run_chunk(states, ids, ys, xs, key):
         def body(states, inp):
             i, y, x, j = inp
-            batch = _crop_frames(frames, i, y, x, patch)
-            if strip:
-                batch = strip_llpm(batch)
+            batch = view(_crop_frames(frames, i, y, x, patch))
             states, ld = raw_step(states, batch, jax.random.fold_in(key, j))
             return states, ld
 
@@ -112,16 +131,16 @@ def make_chunk_runner(iface, corpus):
     return run_chunk
 
 
-def val_relmse(iface, val_batches):
+def val_relmse(iface, val_batches, base):
     import jax.numpy as jnp
 
     from wcmc_tpu import metrics
     from wcmc_tpu.utils.utils import crop_like
 
+    view = make_view(base, iface.use_llpm_buf)
     vals, inputs = [], []
     for b in val_batches:
-        if not iface.use_llpm_buf:
-            b = strip_llpm(b)
+        b = view(b)
         out, _ = iface.validate_batch(b)
         out = np.asarray(out)
         tgt = np.asarray(crop_like(b["target_image"], jnp.asarray(out)))
@@ -151,7 +170,7 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
     )
     iface = init_interfaces(cfg)[0]
     iface.to_train_mode()
-    run_chunk = make_chunk_runner(iface, train_corpus)
+    run_chunk = make_chunk_runner(iface, train_corpus, base)
 
     tag = f"{name}_s{seed}"
     log_fn = os.path.join(OUT, f"{tag}.jsonl")
@@ -181,7 +200,7 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
             for k, v in lds.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
         iface.to_eval_mode()
-        rel, rel_in = val_relmse(iface, val_batches)
+        rel, rel_in = val_relmse(iface, val_batches, base)
         iface.to_train_mode()
         row = {
             "epoch": epoch,
