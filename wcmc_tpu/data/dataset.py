@@ -466,16 +466,24 @@ class DenoiseDataset:
             self._cut_patches(img_idx)
         return self._patches[pat_idx]
 
-    def get_stats(self, keys=None):
+    def get_stats(self, keys=None, max_images: int | None = None):
         """Per-channel running mean/std/min/max over all images
         (reference support/datasets.py:912-1023).  Use for data
         standardization of custom datasets; do NOT standardize
-        radiance/buffer/target channels."""
+        radiance/buffer/target channels.
+
+        ``max_images`` caps the scan (evenly-strided subsample) — the
+        full serial pass is fine for a 16-scene set but slow on a real
+        corpus; channel statistics converge long before that."""
         if len(self.gt_files) == 0:
             raise RuntimeError("No data assigned for the DenoiseDataset")
         agg = {}
         n_pix = {}
-        for img_idx in range(len(self.gt_files)):
+        idxs = range(len(self.gt_files))
+        if max_images is not None and max_images < len(self.gt_files):
+            stride = len(self.gt_files) / max_images
+            idxs = sorted({int(i * stride) for i in range(max_images)})
+        for img_idx in idxs:
             sample, _ = self._load_image(img_idx)
             use = keys or list(sample)
             for k in use:

@@ -66,7 +66,14 @@ def p_buffer_variance(p_buffer):
     """Detached per-pixel embedding variance / spp
     (reference interfaces.py:165-168).  (B,S,H,W,C) -> (B,H,W,1).
 
-    Unbiased (ddof=1) sample variance, matching torch ``.var(1)``."""
+    Unbiased (ddof=1) sample variance, matching torch ``.var(1)``.
+
+    Reference-semantics formulation: the production interfaces compute
+    this feature from the fused kernels' VMEM moment accumulators
+    (``_dual_pathnet_with_moments`` + ``_variance_feature``) without
+    materializing the (B,S,H,W,C) buffer; this function is the golden
+    definition those moments are tested against
+    (tests/test_mlp_fused.py) and the API for custom interfaces."""
     s = p_buffer.shape[1]
     v = p_buffer.var(axis=1, ddof=1).mean(axis=-1, keepdims=True) / s
     return jax.lax.stop_gradient(v)
