@@ -154,20 +154,25 @@ def test_batch_loader_flushes_partial_at_boundary():
 
 def test_full_image_dataset_tiling(data_root):
     fn = os.path.join(data_root, "test", "input", "scene0.npy")
+    # KPCN default: stride 72 / margin 28 (full VALID output per tile)
     ds = FullImageDataset(fn, 4, "kpcn", use_llpm_buf=True)
-    assert ds.h == 192 and ds.w == 192
-    stride = 128 - 2 * PAD_SIZE
-    n = ((192 - 2 * PAD_SIZE) // stride) ** 2
-    assert len(ds) == n
+    assert ds.pad_h == ds.pad_w == 28
+    assert (ds.h - 2 * ds.pad_h) % 72 == 0
     tile, coords = ds[0]
     assert tile["kpcn_diffuse_in"].shape == (128, 128, 35)
-    assert ds.has_hit.shape == (192, 192, 3)
-    # interior coords cover the full frame exactly once
-    canvas = np.zeros((192, 192), np.int32)
+    # interior coords cover the padded canvas exactly once
+    canvas = np.zeros((ds.h, ds.w), np.int32)
     for i in range(len(ds)):
         _, (i0, j0, i1, j1, _, _) = ds[i]
         canvas[i0:i1, j0:j1] += 1
     assert (canvas == 1).all()
+
+    # reference-exact tiling (stride 64) still available
+    ds64 = FullImageDataset(fn, 4, "kpcn", use_llpm_buf=True, stride=64)
+    assert ds64.h == 192 and ds64.w == 192
+    stride = 128 - 2 * PAD_SIZE
+    assert len(ds64) == ((192 - 2 * PAD_SIZE) // stride) ** 2
+    assert ds64.has_hit.shape == (192, 192, 3)
 
 
 def test_full_image_multispp_parts(data_root):
