@@ -150,6 +150,12 @@ class DeviceCorpus:
             for y in range(0, self.max_y + 1, stride)
             for x in range(0, self.max_x + 1, stride)
         ]
-        for c0 in range(0, len(coords) - batch_size + 1, batch_size):
+        n_full = len(coords) // batch_size * batch_size
+        for c0 in range(0, n_full, batch_size):
             ids, ys, xs = zip(*coords[c0:c0 + batch_size])
+            yield self.crop(np.array(ids), np.array(ys), np.array(xs))
+        if n_full < len(coords):
+            # flush the ragged tail (small val sets would otherwise
+            # yield nothing at all)
+            ids, ys, xs = zip(*coords[n_full:])
             yield self.crop(np.array(ids), np.array(ys), np.array(xs))
