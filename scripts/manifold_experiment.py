@@ -183,7 +183,7 @@ def _train_epochs(iface, run_chunk, corpus, args, epochs, val_batches,
         sums, norm = {}, 0
         for c in range(args.chunks_per_epoch):
             coords = np.stack(
-                [corpus.sample_coords(rng, 8) for _ in range(args.chunk)])
+                [corpus.sample_coords(rng, args.batch) for _ in range(args.chunk)])
             key = jax.random.fold_in(key, hash(stage_name) % 997 * 100000
                                      + epoch * 1000 + c)
             iface.states, lds = run_chunk(
@@ -219,7 +219,7 @@ def run_kpcn_pre(args, train_corpus, val_batches, seed):
     from wcmc_tpu.train.checkpoint import save_checkpoint
     from wcmc_tpu.train.factory import TrainConfig, init_interfaces
 
-    common = dict(base_model="kpcn", batch_size=8, spp=8, lr_dncnn=1e-4,
+    common = dict(base_model="kpcn", batch_size=args.batch, spp=8, lr_dncnn=1e-4,
                   lr_pnet=(1e-4,), w_manif=(0.1,), train_branches=True,
                   finite_check_every=10**9, seed=seed,
                   kpcn_ksize=args.ksize, kpcn_pre=True, use_llpm_buf=True)
@@ -265,7 +265,7 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
         return run_kpcn_pre(args, train_corpus, val_batches, seed)
 
     cfg = TrainConfig(
-        base_model="kpcn", batch_size=8, spp=8,
+        base_model="kpcn", batch_size=args.batch, spp=8,
         lr_dncnn=1e-4, lr_pnet=(1e-4,), w_manif=(0.1,),
         train_branches=True, finite_check_every=10**9, seed=seed,
         kpcn_ksize=args.ksize,
@@ -289,13 +289,13 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
         t0 = time.time()
         sums, norm = {}, 0
         for c in range(args.chunks_per_epoch):
-            ids = np.empty((args.chunk, 8), np.int32)
-            ys = np.empty((args.chunk, 8), np.int32)
-            xs = np.empty((args.chunk, 8), np.int32)
+            ids = np.empty((args.chunk, args.batch), np.int32)
+            ys = np.empty((args.chunk, args.batch), np.int32)
+            xs = np.empty((args.chunk, args.batch), np.int32)
             for s in range(args.chunk):
-                ids[s] = rng.integers(0, train_corpus.n, 8)
-                ys[s] = rng.integers(0, train_corpus.max_y + 1, 8)
-                xs[s] = rng.integers(0, train_corpus.max_x + 1, 8)
+                ids[s] = rng.integers(0, train_corpus.n, args.batch)
+                ys[s] = rng.integers(0, train_corpus.max_y + 1, args.batch)
+                xs[s] = rng.integers(0, train_corpus.max_x + 1, args.batch)
             import jax.numpy as jnp
 
             key = jax.random.fold_in(key, epoch * 10000 + c)
@@ -340,6 +340,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--chunks_per_epoch", type=int, default=8)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--configs", type=str, default="vanilla,fmse,grs")
     args = ap.parse_args()
 
@@ -362,7 +363,7 @@ def main():
     del train_frames
     val_corpus = stage(val_frames, args.patch)
     del val_frames
-    val_batches = list(val_corpus.grid_batches(8, stride=args.patch))
+    val_batches = list(val_corpus.grid_batches(args.batch, stride=args.patch))
     print(f"staged {train_corpus.nbytes() / 1e9:.2f} GB train + "
           f"{val_corpus.nbytes() / 1e9:.2f} GB val in "
           f"{time.time() - t0:.0f}s; {len(val_batches)} val batches",
