@@ -17,6 +17,9 @@ vs_baseline = target_step_time / measured_step_time (>1 = beating it).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -35,7 +38,56 @@ ITERS = 20
 HOST_ROUNDTRIP_S = 0.035   # measured axon-tunnel readback latency
 
 
+def _fail_json(reason: str) -> None:
+    """Emit ONE parseable JSON line and exit non-zero.
+
+    Round-3 lesson: when the axon relay is down, backend init either
+    hangs forever or raises mid-benchmark; the driver then records a
+    raw traceback (BENCH_r03 rc=1, no parseable line). Always print
+    the one-line JSON contract, with an ``error`` field, before
+    exiting."""
+    print(
+        json.dumps(
+            {
+                "metric": "kpcn_manifold_train_mpix_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "MP/s",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        ),
+        flush=True,
+    )
+    raise SystemExit(1)
+
+
+def _probe_backend(timeout_s: float = 180.0) -> None:
+    """Bounded-time device probe in a subprocess.
+
+    Initializing the axon backend while the relay is down hangs
+    indefinitely (no error); a killable child is the only safe way to
+    find out. A clean child exit releases the chip claim."""
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jnp.sum(jnp.ones((4,)))), jax.default_backend())"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            env=dict(os.environ),
+            timeout=timeout_s,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        _fail_json(f"backend init unresponsive after {timeout_s:.0f}s "
+                   "(axon relay down?)")
+    if res.returncode != 0:
+        tail = res.stderr.decode(errors="replace").strip().splitlines()
+        _fail_json("backend init failed: " + (tail[-1] if tail else "?"))
+
+
 def main():
+    _probe_backend()
     import jax
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -105,4 +157,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # relay died mid-benchmark, OOM, ...
+        _fail_json(f"{type(e).__name__}: {e}")

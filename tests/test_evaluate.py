@@ -171,6 +171,21 @@ def test_inference_bounds_in_flight_window(tmp_path, kpcn_iface):
     assert peak <= 4, f"peak in-flight {peak} (of {n_batches} batches)"
 
 
+def test_large_square_tile_clamped(monkeypatch):
+    """512x512 square tiles hit a >9-min XLA compile (round-3 finding);
+    denoise() must clamp them to 256 with a warning, keep full-width
+    bands untouched, and honor the override env var."""
+    monkeypatch.delenv("WCMC_ALLOW_LARGE_TILES", raising=False)
+    with pytest.warns(UserWarning, match="clamped to 256"):
+        assert evaluate._clamp_pathological_tile(512, 512) == (256, 256)
+    # bands and small tiles pass through
+    assert evaluate._clamp_pathological_tile(128, 1920) == (128, 1920)
+    assert evaluate._clamp_pathological_tile(256, 256) == (256, 256)
+    assert evaluate._clamp_pathological_tile(None, None) == (None, None)
+    monkeypatch.setenv("WCMC_ALLOW_LARGE_TILES", "1")
+    assert evaluate._clamp_pathological_tile(512, 512) == (512, 512)
+
+
 def test_band_tiled_inference_matches_untiled(eval_root, kpcn_iface):
     """Wide-band device tiles (tile_h x full width) must assemble to
     the same output as the 128-px tiling and the untiled forward."""

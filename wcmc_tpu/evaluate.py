@@ -184,6 +184,27 @@ def evaluate_frame(out_rad, tgt, ipt, has_hit):
     return results, results_input
 
 
+def _clamp_pathological_tile(tile_h, tile_w):
+    """Guard (round-3 finding): >=512x512 square tiles trigger a
+    pathological >9-minute XLA compile through the remote-compile
+    tunnel (scripts/repro_512_tile_compile.py is the minimal repro)
+    with no throughput win over 256-px tiles (the measured v5e sweet
+    spot).  Full-width *bands* (tile_w >> tile_h) are unaffected and
+    stay allowed.  Set WCMC_ALLOW_LARGE_TILES=1 to override."""
+    if (tile_h or 0) > 384 and (tile_w or 0) > 384 and \
+            not os.environ.get("WCMC_ALLOW_LARGE_TILES"):
+        import warnings
+
+        warnings.warn(
+            f"tile {tile_h}x{tile_w} clamped to 256x256: large square "
+            "tiles hit a pathological XLA compile (see "
+            "scripts/repro_512_tile_compile.py); set "
+            "WCMC_ALLOW_LARGE_TILES=1 to override", stacklevel=3,
+        )
+        return 256, 256
+    return tile_h, tile_w
+
+
 def denoise(
     interface,
     input_dir: str,
@@ -218,6 +239,7 @@ def denoise(
         # PathNet UNet's context is tile-global, so tile size is
         # behavior-relevant there and 128 matches the reference.
         tile_h = tile_w = 256
+    tile_h, tile_w = _clamp_pathological_tile(tile_h, tile_w)
     if batch_size_fn is None:
         if (tile_h or PATCH_SIZE) * (tile_w or PATCH_SIZE) > 256 * 256:
             batch_size_fn = lambda spp: 1  # noqa: E731 — band tiles
