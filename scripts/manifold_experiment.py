@@ -144,6 +144,59 @@ def make_chunk_runner(iface, corpus, chunk):
     return run_chunk
 
 
+def make_grad_share_diag(iface):
+    """Per-epoch diagnostic (VERDICT r3 weak #5): the manifold term's
+    share of the PathNet gradient norm.  Distinguishes a genuine null
+    result ("manifold gradients flow but don't help") from a no-op
+    loss ("w_manif*L_manif is ~1e4x smaller than recon and never
+    steers the embedding").  share = |g_manif| / (|g_manif|+|g_recon|)
+    over the PathNet parameters only."""
+    import jax
+    import jax.numpy as jnp
+
+    from wcmc_tpu.train.interfaces import crop_hw
+    from wcmc_tpu.utils.utils import crop_like
+
+    lf = iface.loss_funcs
+    pnet_names = [n for n in iface.models if n != "dncnn"]
+
+    def losses(params, batch, key):
+        net_batch, out_manif = iface._forward_with_paths(params, batch)
+        out = iface.models["dncnn"].apply(
+            {"params": params["dncnn"]}, net_batch)
+        diffuse, specular = out["diffuse"], out["specular"]
+        tgt_d = crop_like(batch["target_diffuse"], diffuse)
+        tgt_s = crop_like(batch["target_specular"], specular)
+        l_recon = (lf["l_diffuse"](diffuse, tgt_d)
+                   + lf["l_specular"](specular, tgt_s))
+        kd, ks = jax.random.split(key)
+        h_t, w_t = diffuse.shape[1], diffuse.shape[2]
+        l_manif = iface.w_manif * (
+            lf["l_manif"](kd, crop_hw(out_manif["diffuse"], h_t, w_t),
+                          tgt_d, cmajor=True)
+            + lf["l_manif"](ks, crop_hw(out_manif["specular"], h_t, w_t),
+                            tgt_s, cmajor=True))
+        return l_recon, l_manif
+
+    @jax.jit
+    def diag(states, batch, key):
+        params = {n: states[n].params for n in states}
+        g_r = jax.grad(lambda p: losses(p, batch, key)[0])(params)
+        g_m = jax.grad(lambda p: losses(p, batch, key)[1])(params)
+
+        def pnorm(g):
+            sq = 0.0
+            for n in pnet_names:
+                for leaf in jax.tree_util.tree_leaves(g[n]):
+                    sq = sq + jnp.sum(leaf.astype(jnp.float32) ** 2)
+            return jnp.sqrt(sq)
+
+        nr, nm = pnorm(g_r), pnorm(g_m)
+        return nm / (nm + nr + 1e-30), nm, nr
+
+    return diag
+
+
 def val_relmse(iface, val_batches):
     import jax.numpy as jnp
 
@@ -172,7 +225,7 @@ def val_relmse(iface, val_batches):
 
 
 def _train_epochs(iface, run_chunk, corpus, args, epochs, val_batches,
-                  tag, log_fn, rng, key, stage_name, step0=0):
+                  tag, log_fn, rng, key, stage_name, step0=0, diag=None):
     """Shared epoch loop: chunks of scanned steps + per-epoch val."""
     import jax
     import jax.numpy as jnp
@@ -203,6 +256,12 @@ def _train_epochs(iface, run_chunk, corpus, args, epochs, val_batches,
             "sec": round(time.time() - t0, 1),
             **{f"train_{k}": round(v / norm, 6) for k, v in sums.items()},
         }
+        if diag is not None:
+            share, nm, nr = diag(iface.states, val_batches[0],
+                                 jax.random.fold_in(key, 555))
+            row["manif_grad_share"] = round(float(share), 6)
+            row["manif_grad_norm"] = round(float(nm), 6)
+            row["recon_grad_norm"] = round(float(nr), 6)
         rows.append(row)
         with open(log_fn, "a") as f:
             f.write(json.dumps({"config": tag, **row}) + "\n")
@@ -235,7 +294,8 @@ def run_kpcn_pre(args, train_corpus, val_batches, seed):
     iface.to_train_mode()
     run_chunk = make_chunk_runner(iface, train_corpus, args.chunk)
     _train_epochs(iface, run_chunk, train_corpus, args, epochs_a,
-                  val_batches, tag, log_fn, rng, key, "pretrain")
+                  val_batches, tag, log_fn, rng, key, "pretrain",
+                  diag=make_grad_share_diag(iface))
 
     cfg_b = TrainConfig(manif_learn=False, manif_loss=None, **common)
     iface_b = init_interfaces(cfg_b)[0]
@@ -274,6 +334,7 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
     iface = init_interfaces(cfg)[0]
     iface.to_train_mode()
     run_chunk = make_chunk_runner(iface, train_corpus, args.chunk)
+    diag = make_grad_share_diag(iface) if cfg.manif_learn else None
 
     tag = f"{name}_s{seed}"
     log_fn = os.path.join(OUT, f"{tag}.jsonl")
@@ -317,6 +378,12 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
             "sec": round(time.time() - t0, 1),
             **{f"train_{k}": round(v / norm, 6) for k, v in sums.items()},
         }
+        if diag is not None:
+            share, nm, nr = diag(iface.states, val_batches[0],
+                                 jax.random.fold_in(key, 555))
+            row["manif_grad_share"] = round(float(share), 6)
+            row["manif_grad_norm"] = round(float(nm), 6)
+            row["recon_grad_norm"] = round(float(nr), 6)
         rows.append(row)
         with open(log_fn, "a") as f:
             f.write(json.dumps({"config": tag, **row}) + "\n")
