@@ -54,16 +54,18 @@ def main():
     if "--tile128" in sys.argv:
         tile_h = tile_w = None
     if "--tile_h" in sys.argv:
-        # full-width bands: measured PATHOLOGICAL (413 ms/band at 636
-        # rows — XLA's conv emitter drops to ~10 TF/s on batch-1 huge-
-        # spatial shapes); kept for the record
+        # full-width bands. batch-1 huge bands (636 rows) measured
+        # PATHOLOGICAL (413 ms/band — XLA's conv emitter drops to
+        # ~10 TF/s on batch-1 huge-spatial shapes); batched shorter
+        # bands (--tile_h 256 --bs 3: 6 bands/frame, 78% useful rows
+        # vs 61% useful pixels for 256x256 tiles) are the r4 probe
         tile_h = int(sys.argv[sys.argv.index("--tile_h") + 1])
         tile_w = 1984     # full frame width + 2*PAD
         bs = 1
     if "--tile" in sys.argv:
         tile_h = tile_w = int(sys.argv[sys.argv.index("--tile") + 1])
-        bs = int(sys.argv[sys.argv.index("--bs") + 1]) \
-            if "--bs" in sys.argv else 4
+    if "--bs" in sys.argv:
+        bs = int(sys.argv[sys.argv.index("--bs") + 1])
     iface = init_interfaces(
         TrainConfig(base_model="kpcn", finite_check_every=10**9)
     )[0]

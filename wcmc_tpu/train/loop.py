@@ -48,6 +48,16 @@ def train_epoch(epoch, interfaces, dataloaders, params, args, verbose=True):
             if writer is not None and iface.iters % 50 == 0:
                 writer.log(iface.iters, loss_dict, prefix="train/")
                 writer.log(iface.iters, {"step_ms": timer.mean_ms}, prefix="perf/")
+    if writer is not None:
+        # per-step wall times for the loader-sustain histogram; steps
+        # pipeline asynchronously so individual ticks measure the
+        # host-side issue rate, their sum the true epoch throughput
+        all_ms = timer.drain_all_ms()
+        if all_ms:
+            np.save(
+                os.path.join(writer.log_dir, f"step_times_e{epoch}.npy"),
+                np.asarray(all_ms, np.float32),
+            )
     if verbose:
         for iface in interfaces:
             # normalize by batches actually SERVED: shape-partitioned

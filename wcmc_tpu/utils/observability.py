@@ -19,6 +19,7 @@ class MetricsWriter:
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
         if use_tensorboard:
@@ -66,15 +67,24 @@ class StepTimer:
     def __init__(self, window: int = 50):
         self.window = window
         self._times = []
+        self._all = []   # full history (floats; ~8 B/step) for the
+        #                  loader-sustain histogram (VERDICT r3 item 4)
         self._last = None
 
     def tick(self):
         now = time.perf_counter()
         if self._last is not None:
             self._times.append(now - self._last)
+            self._all.append(now - self._last)
             if len(self._times) > self.window:
                 self._times.pop(0)
         self._last = now
+
+    def drain_all_ms(self):
+        """Return and clear the full per-step history, in ms."""
+        out = [1e3 * t for t in self._all]
+        self._all = []
+        return out
 
     @property
     def mean_ms(self) -> float:
