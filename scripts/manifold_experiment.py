@@ -116,7 +116,6 @@ def make_chunk_runner(iface, corpus, chunk):
     from wcmc_tpu.train import interfaces as itf
 
     raw_step = iface._make_train_step()
-    frames = corpus.frames
     patch = corpus.patch
     strip = not iface.use_llpm_buf
     # KPCNRef applies its target-concat in train_batch, which the scan
@@ -124,8 +123,11 @@ def make_chunk_runner(iface, corpus, chunk):
     augment = (iface._augment
                if isinstance(iface, itf.KPCNRefInterface) else None)
 
+    # frames MUST be a jit argument, not a closure: captured device
+    # arrays lower to HLO constants and the ~2.4 GB program broke the
+    # axon remote-compile tunnel (r4: 40 min, then Broken pipe)
     @jax.jit
-    def run_chunk(states, ids, ys, xs, key):
+    def run_chunk(states, frames, ids, ys, xs, key):
         def body(states, inp):
             i, y, x, j = inp
             batch = _crop_frames(frames, i, y, x, patch)
@@ -141,7 +143,10 @@ def make_chunk_runner(iface, corpus, chunk):
         return states, jax.tree_util.tree_map(
             lambda v: jnp.mean(v.astype(jnp.float32)), lds)
 
-    return run_chunk
+    def call(states, ids, ys, xs, key):
+        return run_chunk(states, corpus.frames, ids, ys, xs, key)
+
+    return call
 
 
 def make_grad_share_diag(iface):

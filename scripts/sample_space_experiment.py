@@ -111,12 +111,14 @@ def make_chunk_runner(iface, corpus, base):
     from wcmc_tpu.data.device_corpus import _crop_frames
 
     raw_step = iface._make_train_step()
-    frames = corpus.frames
     patch = corpus.patch
     view = make_view(base, iface.use_llpm_buf)
 
+    # frames MUST be a jit argument, not a closure: captured device
+    # arrays lower to HLO constants and the ~2.4 GB program broke the
+    # axon remote-compile tunnel (r4: 40 min, then Broken pipe)
     @jax.jit
-    def run_chunk(states, ids, ys, xs, key):
+    def run_chunk(states, frames, ids, ys, xs, key):
         def body(states, inp):
             i, y, x, j = inp
             batch = view(_crop_frames(frames, i, y, x, patch))
@@ -128,7 +130,10 @@ def make_chunk_runner(iface, corpus, base):
         return states, jax.tree_util.tree_map(
             lambda v: jnp.mean(v.astype(jnp.float32)), lds)
 
-    return run_chunk
+    def call(states, ids, ys, xs, key):
+        return run_chunk(states, corpus.frames, ids, ys, xs, key)
+
+    return call
 
 
 def val_relmse(iface, val_batches, base):
