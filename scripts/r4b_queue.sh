@@ -36,6 +36,21 @@ stage() {
 
 MANIF="python scripts/manifold_experiment.py --chunks_per_epoch 16"
 
+# --- fmse+grs at the vanilla step budget -------------------------------
+# The first round-4 fmse/grs launch used the default chunks_per_epoch 8
+# (2,560 steps) while the committed vanilla baseline ran 16 (5,120
+# steps); those runs moved to experiments/manifold/r4_chunks8/.  This
+# is the like-for-like rerun.
+stage manifold_fmse_grs 9000 $MANIF --seeds 2 --configs fmse,grs
+
+# --- vanilla ckpt regen ------------------------------------------------
+# The part-A vanilla run's curves + summary rows are committed, but its
+# checkpoints (gitignored) did not survive the container restart; the
+# eval sweep needs them.  Deterministic corpus (seed 7) + per-seed
+# patch keys make this a like-for-like regen; summary.csv gains two
+# duplicate-config rows, annotated in the experiment README.
+stage manifold_vanilla_ckpts 5400 $MANIF --seeds 2 --configs vanilla
+
 # --- ablation surface (VERDICT item 5) --------------------------------
 stage ablate_m10r01    4200 $MANIF --seeds 1 --configs m10r01
 stage ablate_kpcn_ref  4200 $MANIF --seeds 1 --configs kpcn_ref
