@@ -12,10 +12,10 @@ cd /root/repo
 RC=/tmp/r4_evidence_rc.txt
 
 for i in $(seq 1 720); do
-  grep -q "ALL DONE" $RC 2>/dev/null && break
+  grep -q "PART D DONE" $RC 2>/dev/null && break
   sleep 30
 done
-grep -q "ALL DONE" $RC || { echo "part-B never finished; abort"; exit 1; }
+grep -q "PART D DONE" $RC || { echo "part-D never finished; abort"; exit 1; }
 
 stage() {
   local name=$1 tmo=$2; shift 2

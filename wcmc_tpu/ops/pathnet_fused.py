@@ -138,9 +138,16 @@ def _embed_bwd_kernel(x_ref, ge_ref, gm_ref, *refs, acts, n_samples,
         dx_ref[0, 0] = g.astype(dx_ref.dtype)
 
 
-def _embed_geometry(x):
+def _embed_geometry(x, compute_dx=False):
     b, s, hw, c0 = x.shape
-    tr = min(_EMBED_TILE, max(8, hw))
+    # compute_dx adds a (tr, c0) output block plus the in-kernel
+    # backprop chain to dx — at tr 4096 the bwd kernel's scoped VMEM
+    # stack measures 17.06M vs the 16M limit (Multisteps at
+    # (4, 8, 12288, 90), r4 sample-space OOM). Halving the row tile
+    # only on that path keeps the KPCN flagship (compute_dx=False)
+    # at its measured-optimal 4096.
+    cap = _EMBED_TILE // 2 if compute_dx else _EMBED_TILE
+    tr = min(cap, max(8, hw))
     n_tiles = pl.cdiv(hw, tr)
     return b, s, hw, c0, tr, n_tiles, n_tiles * tr
 
@@ -179,7 +186,7 @@ def _embed_fwd_pallas(x, ws, bs, acts):
 
 
 def _embed_bwd_pallas(x, ge, gmean, ws, bs, acts, compute_dx):
-    b, s, hw, c0, tr, n_tiles, hwp = _embed_geometry(x)
+    b, s, hw, c0, tr, n_tiles, hwp = _embed_geometry(x, compute_dx)
     xp = _pad_rows(x, hwp)
     gep = _pad_rows(ge.astype(x.dtype), hwp)
     gmp = _pad_rows(gmean.astype(jnp.float32), hwp)
