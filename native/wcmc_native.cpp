@@ -158,7 +158,9 @@ void wn_sanitize(float* data, int64_t n, float cap, int n_threads) {
   parallel_for(n, n_threads, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       float v = data[i];
-      if (!(v == v) || v > cap) {  // NaN or over-cap (and +inf)
+      if (!(v == v) || v - v != 0.0f) {  // NaN or +/-inf: corrupt
+        data[i] = 0.0f;  // zero, not a sentinel — see preprocess.sanitize
+      } else if (v > cap) {
         data[i] = cap;
       } else if (v < -cap) {
         data[i] = -cap;

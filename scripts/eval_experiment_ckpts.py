@@ -85,7 +85,11 @@ def main():
             cfg = TrainConfig(base_model=base, finite_check_every=10**9,
                               **overrides)
             iface = init_interfaces(cfg)[0]
-            restore_interface(iface, load_checkpoint(ck_fn))
+            # params only: eval never steps the optimizer, and the
+            # experiment runners' warmup/StepLR wrappers change the
+            # opt-state tree arity vs the plain CLI build
+            restore_interface(iface, load_checkpoint(ck_fn),
+                              load_optim=False)
             print(f"evaluating {tag} ({base}) at spp {spps}", flush=True)
             res = evaluate.denoise(
                 iface, os.path.join(DATA, "test", "input"), base,

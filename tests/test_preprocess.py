@@ -82,14 +82,18 @@ def test_gradients_zero_padding():
     np.testing.assert_allclose(g[0, :, 1], 0.0)
 
 
-def test_sanitize_caps_nonfinite():
-    x = jnp.asarray([np.nan, np.inf, -np.inf, 1.0, 1e39])
+def test_sanitize_zeroes_nonfinite():
+    # corrupt (non-finite) samples are zeroed, not sentinel-capped —
+    # see the deviation note on preprocess.sanitize
+    # 3e38 is representable in f32 (max 3.4e38) and above the cap;
+    # anything that overflows to inf at construction is "corrupt" -> 0
+    x = jnp.asarray([np.nan, np.inf, -np.inf, 1.0, 3e38, -3e38])
     out = np.asarray(preprocess.sanitize(x))
     assert np.isfinite(out).all()
+    assert (out[[0, 1, 2]] == 0.0).all()
     assert out[3] == 1.0
-    assert (out[[0, 1, 4]] == preprocess.FINITE_CAP).all()
-    assert out[2] == -np.inf or out[2] == preprocess.FINITE_CAP  # -inf -> cap
-    assert np.all(out <= preprocess.FINITE_CAP)
+    assert out[4] == preprocess.FINITE_CAP
+    assert out[5] == -preprocess.FINITE_CAP
 
 
 def test_kpcn_net_inputs_split(small_raw):

