@@ -42,12 +42,16 @@ SS_CONFIGS = {
 
 
 def config_for(tag):
-    """'<name>_s<seed>.ckpt' -> (overrides, base_model)."""
+    """'<name>[_<suffix>]_s<seed>.ckpt' -> (overrides, base_model).
+
+    Longest-prefix match so suffixed reruns (e.g. sbmc_lr1e4_s0 from
+    the runner's --suffix flag) resolve to their base config."""
     name = tag.rsplit("_s", 1)[0]
-    if name in KPCN_CONFIGS:
-        return dict(KPCN_CONFIGS[name], base_model="kpcn")
-    if name in SS_CONFIGS:
-        return dict(SS_CONFIGS[name])
+    for table, extra in ((KPCN_CONFIGS, {"base_model": "kpcn"}),
+                         (SS_CONFIGS, {})):
+        for key in sorted(table, key=len, reverse=True):
+            if name == key or name.startswith(key + "_"):
+                return dict(table[key], **extra)
     return None
 
 

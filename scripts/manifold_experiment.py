@@ -230,12 +230,17 @@ def val_relmse(iface, val_batches):
 
 
 def _train_epochs(iface, run_chunk, corpus, args, epochs, val_batches,
-                  tag, log_fn, rng, key, stage_name, step0=0, diag=None):
-    """Shared epoch loop: chunks of scanned steps + per-epoch val."""
+                  tag, log_fn, rng, key, stage_name, step0=0, diag=None,
+                  best_ckpt_fn=None):
+    """Shared epoch loop: chunks of scanned steps + per-epoch val.
+    With ``best_ckpt_fn``, snapshots the best-val state there."""
     import jax
     import jax.numpy as jnp
 
+    from wcmc_tpu.train.checkpoint import save_checkpoint
+
     rows = []
+    best_rel = float("inf")
     for epoch in range(epochs):
         t0 = time.time()
         sums, norm = {}, 0
@@ -271,6 +276,9 @@ def _train_epochs(iface, run_chunk, corpus, args, epochs, val_batches,
         with open(log_fn, "a") as f:
             f.write(json.dumps({"config": tag, **row}) + "\n")
         print(f"[{tag}] {row}", flush=True)
+        if best_ckpt_fn is not None and rel < best_rel:
+            best_rel = rel
+            save_checkpoint(best_ckpt_fn, iface, epoch=epoch)
     return rows
 
 
@@ -313,9 +321,8 @@ def run_kpcn_pre(args, train_corpus, val_batches, seed):
     rows = _train_epochs(iface_b, run_chunk_b, train_corpus, args,
                          epochs_b, val_batches, tag, log_fn, rng, key,
                          "frozen",
-                         step0=epochs_a * args.chunks_per_epoch * args.chunk)
-    save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface_b,
-                    epoch=epochs_b - 1)
+                         step0=epochs_a * args.chunks_per_epoch * args.chunk,
+                         best_ckpt_fn=os.path.join(OUT, f"{tag}.ckpt"))
     return rows
 
 
@@ -346,6 +353,7 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
     rng = np.random.default_rng(1000 + seed)
     key = jax.random.PRNGKey(seed)
     rows = []
+    best_rel = float("inf")
     total_epochs = args.epochs + args.finetune_epochs
     for epoch in range(total_epochs):
         if epoch == args.epochs:   # stage 2: fine-tune (reference
@@ -393,9 +401,15 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
         with open(log_fn, "a") as f:
             f.write(json.dumps({"config": tag, **row}) + "\n")
         print(f"[{tag}] {row}", flush=True)
-
-    save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface,
-                    epoch=total_epochs - 1)
+        # BEST-val checkpoint, matching the shared train loop and the
+        # reference test protocol (test_models.py evaluates the best
+        # model).  Final-epoch snapshots made the full-frame eval
+        # measure how far a run had regressed past its minimum
+        # (grs_s0: best 8.5 vs final 157.8 val RelMSE x1e3).
+        if rel < best_rel:
+            best_rel = rel
+            save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface,
+                            epoch=epoch)
     return rows
 
 

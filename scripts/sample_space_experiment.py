@@ -182,6 +182,7 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
     rng = np.random.default_rng(1000 + seed)
     key = jax.random.PRNGKey(seed)
     rows = []
+    best_rel = float("inf")
     for epoch in range(args.epochs):
         if base == "lbmc" and epoch and epoch % 3 == 0:
             # reference StepLR(3, 0.5), train_lbmc.py:84-93
@@ -219,9 +220,15 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
         with open(log_fn, "a") as f:
             f.write(json.dumps({"config": tag, **row}) + "\n")
         print(f"[{tag}] {row}", flush=True)
-
-    save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface,
-                    epoch=args.epochs - 1)
+        # keep the BEST-val checkpoint, like the shared train loop and
+        # the reference's test protocol (its test_models.py evaluates
+        # the best model, not the last epoch) — evaluating final-epoch
+        # states penalized configs whose curve regressed after its
+        # minimum (lbmc_fmse: best 388 at mid-run vs final 550)
+        if rel < best_rel:
+            best_rel = rel
+            save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface,
+                            epoch=epoch)
     return rows
 
 
@@ -238,6 +245,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--chunks_per_epoch", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--lr_dncnn", type=float, default=None,
+                    help="override the per-config denoiser lr (the "
+                         "reference SBMC 5e-4 collapses to identity "
+                         "kernels on the toy corpus; see README)")
+    ap.add_argument("--suffix", type=str, default="",
+                    help="tag suffix for overridden runs, e.g. _lr1e4")
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--configs", type=str,
                     default="sbmc,sbmc_fmse,lbmc,lbmc_fmse")
@@ -263,12 +276,17 @@ def main():
     summary = []
     for seed in range(args.seeds):
         for name in args.configs.split(","):
-            rows = run(name, CONFIGS[name], args, train_corpus,
+            overrides = dict(CONFIGS[name])
+            if args.lr_dncnn is not None:
+                overrides["lr_dncnn"] = args.lr_dncnn
+            rows = run(name + args.suffix, overrides, args, train_corpus,
                        val_batches, seed)
             best = min(r["val_relmse_1e3"] for r in rows)
-            summary.append((name, seed, best, rows[-1]["val_relmse_1e3"],
+            summary.append((name + args.suffix, seed, best,
+                            rows[-1]["val_relmse_1e3"],
                             rows[-1]["input_relmse_1e3"]))
-            print(f"[summary] {name} s{seed}: best {best}", flush=True)
+            print(f"[summary] {name}{args.suffix} s{seed}: best {best}",
+                  flush=True)
 
     with open(os.path.join(OUT, "summary.csv"), "a") as f:
         if f.tell() == 0:

@@ -118,5 +118,10 @@ if __name__ == "__main__":
     parser.add_argument("--model_name_contains", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    # TPU extensions; must match training (make_config reads them)
+    parser.add_argument("--kpcn_ksize", type=int, default=21,
+                        help="prediction kernel width used at training.")
+    parser.add_argument("--sbmc_ksize", type=int, default=21,
+                        help="splat kernel width used at training.")
     args = parser.parse_args()
     main(args)

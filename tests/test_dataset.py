@@ -259,6 +259,19 @@ def test_shuffle_loader_covers_all_patches(data_root):
     assert e1 != e2
 
 
+def test_load_patches_owns_memory(data_root):
+    """Patches must own their buffers: ShuffleLoader's shuffle buffer
+    holds patches from many images at once, and a view would pin the
+    whole per-image (N, S, P, P, C) gather until the last straggler is
+    served (observed 130 GB RSS -> host OOM on the 33 GB corpus)."""
+    ds = DenoiseDataset(data_root, 4, "kpcn", "train", batch_size=2,
+                        sampling="grid", patches_per_image=4,
+                        use_llpm_buf=True)
+    for patch in ds.load_patches(0):
+        for k, v in patch.items():
+            assert v.base is None, f"{k} is a view (pins the image gather)"
+
+
 def test_shuffle_loader_never_mixes_shapes():
     from wcmc_tpu.data.dataset import ShuffleLoader
 

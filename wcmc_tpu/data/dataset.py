@@ -408,16 +408,22 @@ class DenoiseDataset:
                 )
                 patches.append(self._to_model_layout(patch))
             return patches
-        per_key = {
-            k: extract_patches(
+        # Each patch must OWN its memory: ShuffleLoader draws patches
+        # uniformly from a cross-image buffer, so a single straggler
+        # view would pin the whole (N, S, P, P, C) per-image gather —
+        # ~6 GB/image with LLPM paths at spp 8 — until it is served
+        # (observed: 130 GB RSS -> host OOM on the 33 GB disk corpus).
+        # Copy key-by-key so only one image-sized array is live at a
+        # time.
+        patches: list = [{} for _ in coords]
+        for k, v in sample.items():
+            big = extract_patches(
                 np.ascontiguousarray(v, np.float32), coords, PATCH_SIZE
             )
-            for k, v in sample.items()
-        }
-        return [
-            {k: per_key[k][i] for k in per_key}
-            for i in range(len(coords))
-        ]
+            for i in range(len(coords)):
+                patches[i][k] = big[i].copy()
+            del big
+        return patches
 
     def _cut_patches(self, img_idx: int):
         self._patches = self.load_patches(img_idx)

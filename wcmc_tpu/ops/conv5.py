@@ -32,7 +32,18 @@ XLA's cross-layer autodiff fusions even with an all-XLA vjp), and
 128-px-tile inference 5.8 -> 10.8 ms per 8-tile batch (per-layer band
 padding + unfused epilogues dominate at small H).  Dispatch is
 therefore opt-in (interfaces.BaseInterface._val_model,
-WCMC_FUSED_INFERENCE=1); revisit at wide band shapes (W ~ 1920).
+WCMC_FUSED_INFERENCE=1).
+
+Wide-band postscript (r4): the "revisit at W ~ 1920" idea is closed.
+At W = 1984 a single 8-row band needs ~49 MB of VMEM blocks (the
+dy-packed patch plane alone is ~2 MB/row at K*Cin = 500), so
+``_band_rows`` returns 0 and ``conv2d`` silently falls back to XLA —
+the r4 full-width-band probe (WCMC_FUSED_INFERENCE=1, 962 ms/frame)
+therefore measured pure XLA.  Engaging the kernel there would need a
+2-D (row-band x column-band) grid; not worth building, because
+full-width bands are 2.3x WORSE than 256-px square tiles end-to-end
+(962 vs 415 ms/frame, scripts/r4c_inference.sh) — batch-1 wide-spatial
+conv geometry is slow regardless of who emits the conv.
 
 SAME padding is handled by pre-padding in XLA and running VALID.
 """
