@@ -133,6 +133,42 @@ def test_multisteps_shapes():
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-4)
 
 
+def test_multisteps_exp_weighting_shift_invariant():
+    """The exp splat weighting (upstream KernelWeighting semantics) is
+    invariant to a global logit shift: only weight RATIOS reach the
+    normalized output, so adding a constant to the kernel-head bias is
+    a no-op.  This pins the per-image max-subtraction as exact (not an
+    approximation)."""
+    m = Multisteps(n_in=24, ksize=5, n_steps=1, width=16,
+                   splat_weighting="exp")
+    b = {
+        "radiance": jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 16, 16, 3)),
+        "features": jax.random.normal(jax.random.PRNGKey(3), (1, 3, 16, 16, 24)),
+    }
+    params = m.init(jax.random.PRNGKey(0), b)
+    out = m.apply(params, b)
+    shifted = jax.tree_util.tree_map_with_path(
+        lambda path, v: v + 7.0 if "kernel_head" in str(path) and v.ndim == 1
+        else v,
+        params,
+    )
+    out2 = m.apply(shifted, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_multisteps_softmax_ablation_mode():
+    """splat_weighting='softmax' (the r3 behavior) stays available as
+    an ablation knob and still preserves constants."""
+    m = Multisteps(n_in=24, ksize=5, n_steps=1, width=16,
+                   splat_weighting="softmax")
+    b = {
+        "radiance": jnp.ones((1, 3, 16, 16, 3)),
+        "features": jnp.zeros((1, 3, 16, 16, 24)),
+    }
+    params = m.init(jax.random.PRNGKey(0), b)
+    np.testing.assert_allclose(np.asarray(m.apply(params, b)), 1.0, rtol=1e-4)
+
+
 def test_layernet_shapes():
     m = LayerNet(n_in=24, ksize=5, width=16, embed_width=8)
     b = {

@@ -31,6 +31,17 @@ class Multisteps(nn.Module):
     # sample-parallel mode: spp axis sharded over this mesh axis; the
     # sample-context means and splat normalization become collectives
     sample_axis_name: str | None = None
+    # Splat-weight parameterization. "exp" (default) is the upstream
+    # KernelWeighting semantics (reference train_sbmc.py:30 via the
+    # sbmc pkg's CUDA/Halide op): w = exp(logit), normalized only by
+    # the TOTAL weight splatted to each pixel — a sample can assign
+    # itself near-zero total weight, which is the paper's outlier
+    # (firefly) rejection mechanism.  "softmax" pins every sample's
+    # kernel sum to exactly 1, making relative down-weighting across
+    # samples impossible; measured on the toy corpus it collapses to
+    # delta kernels (identity output) at every lr tried — kept only
+    # as an ablation knob (experiments/sample_space/README.md).
+    splat_weighting: str = "exp"
 
     def _chain_params(self, name, dims):
         ws, bs = [], []
@@ -94,9 +105,22 @@ class Multisteps(nn.Module):
         logits = nn.Conv(
             self.ksize**2, (1, 1), dtype=self.dtype, name="kernel_head"
         )(x).astype(jnp.float32)
-        weights = nn.softmax(logits, axis=-1).reshape(
-            b, s, h, w, self.ksize**2
-        )
+        logits = logits.reshape(b, s, h, w, self.ksize**2)
+        if self.splat_weighting == "softmax":
+            weights = nn.softmax(logits, axis=-1)
+        else:
+            # log-domain weights, normalized post-splat.  The shift is
+            # a per-IMAGE max — constant across every contribution
+            # (sample, offset) to a given output pixel, so it cancels
+            # exactly in the normalized ratio — cheap and
+            # overflow-safe; logits far below the max underflow to 0,
+            # which is the intended "reject this sample" limit.
+            shift = jnp.max(logits, axis=(1, 2, 3, 4), keepdims=True)
+            if self.sample_axis_name is not None:
+                # shards see only their local samples; the shift must
+                # be identical across shards or it no longer cancels
+                shift = jax.lax.pmax(shift, self.sample_axis_name)
+            weights = jnp.exp(logits - jax.lax.stop_gradient(shift))
         return splat_normalized(
             radiance, weights, self.ksize,
             sample_axis_name=self.sample_axis_name,

@@ -58,6 +58,10 @@ class TrainConfig:
     seed: int = 0
     kpcn_ksize: int = 21
     sbmc_ksize: int = 21
+    # "exp" = upstream KernelWeighting log-weights (post-splat
+    # normalization, enables per-sample outlier rejection);
+    # "softmax" = r3 ablation knob (collapses — models/sbmc.py)
+    sbmc_splat: str = "exp"
     finite_check_every: int = 100
     compute_dtype: str = "bfloat16"   # activations; params/optimizer stay f32
     # linear update warmup (sample-space models; see state.adam_with_clip)
@@ -289,7 +293,8 @@ def _build_sbmc(cfg, lr_pnet, pnet_out, w_manif, key, args):
     models, states, optims = _sbmc_like_build(
         cfg, lr_pnet, pnet_out, key,
         lambda n: Multisteps(n_in=n, ksize=cfg.sbmc_ksize,
-                             dtype=cfg.model_dtype),
+                             dtype=cfg.model_dtype,
+                             splat_weighting=cfg.sbmc_splat),
         clip_norm=1000.0,
     )
     loss_funcs = {
