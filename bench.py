@@ -61,6 +61,36 @@ def _fail_json(reason: str) -> None:
     raise SystemExit(1)
 
 
+def _sibling_chip_holders() -> list[str]:
+    """Other python processes that may hold the single axon chip claim.
+
+    Round-4 lesson: a leftover training process held the chip and the
+    driver's bench hung at backend init for 180 s, with an error string
+    blaming the relay. Name the actual suspect in the JSON error so
+    the failure is diagnosable from the artifact alone."""
+    me = str(os.getpid())
+    out = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or pid == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\x00", b" ").decode(
+                        errors="replace").strip()
+            except OSError:
+                continue
+            if "python" not in cmd or "tpu_init" in cmd:
+                continue
+            # heuristically: anything running repo code or jax work
+            if any(t in cmd for t in ("wcmc", "train_", "experiment",
+                                      "bench", "jax", "eval_")):
+                out.append(f"pid {pid}: {cmd[:120]}")
+    except OSError:
+        pass
+    return out
+
+
 def _probe_backend(timeout_s: float = 180.0) -> None:
     """Bounded-time device probe in a subprocess.
 
@@ -79,8 +109,15 @@ def _probe_backend(timeout_s: float = 180.0) -> None:
             capture_output=True,
         )
     except subprocess.TimeoutExpired:
+        holders = _sibling_chip_holders()
+        if holders:
+            _fail_json(
+                f"backend init unresponsive after {timeout_s:.0f}s — "
+                "chip likely held by sibling process(es): "
+                + "; ".join(holders[:3])
+            )
         _fail_json(f"backend init unresponsive after {timeout_s:.0f}s "
-                   "(axon relay down?)")
+                   "(no chip-holding sibling found — axon relay down?)")
     if res.returncode != 0:
         tail = res.stderr.decode(errors="replace").strip().splitlines()
         _fail_json("backend init failed: " + (tail[-1] if tail else "?"))

@@ -30,10 +30,31 @@ KPCN_CONFIGS = {
                      kpcn_pre=True),
 }
 SS_CONFIGS = {
+    # Legacy plain sbmc tags (sbmc_s0, sbmc_lr1e4_s0, ...) are the r3/r4
+    # SOFTMAX-era runs: the weighting must be pinned or a rerun would
+    # silently evaluate softmax-trained kernel heads through the exp
+    # parameterization (params restore succeeds either way).  Runs from
+    # the r5 runner fold the weighting into the tag (sbmc_exp_*,
+    # sbmc_softmax_*).  The r4 pre-stabilization exp artifacts are
+    # archived under *_expr4_* and are NOT re-evaluable: the global-
+    # shift parameterization they were trained under was removed
+    # (ops/splat.py::splat_normalized_logits) — their committed CSVs
+    # are frozen.
     "sbmc": dict(base_model="sbmc", use_llpm_buf=False, manif_learn=False,
-                 manif_loss=None),
+                 manif_loss=None, sbmc_splat="softmax"),
     "sbmc_fmse": dict(base_model="sbmc", use_llpm_buf=True, manif_learn=True,
-                      manif_loss="FMSE"),
+                      manif_loss="FMSE", sbmc_splat="softmax"),
+    "sbmc_exp": dict(base_model="sbmc", use_llpm_buf=False,
+                     manif_learn=False, manif_loss=None, sbmc_splat="exp"),
+    "sbmc_fmse_exp": dict(base_model="sbmc", use_llpm_buf=True,
+                          manif_learn=True, manif_loss="FMSE",
+                          sbmc_splat="exp"),
+    "sbmc_softmax": dict(base_model="sbmc", use_llpm_buf=False,
+                         manif_learn=False, manif_loss=None,
+                         sbmc_splat="softmax"),
+    "sbmc_fmse_softmax": dict(base_model="sbmc", use_llpm_buf=True,
+                              manif_learn=True, manif_loss="FMSE",
+                              sbmc_splat="softmax"),
     "lbmc": dict(base_model="lbmc", use_llpm_buf=False, manif_learn=False,
                  manif_loss=None),
     "lbmc_fmse": dict(base_model="lbmc", use_llpm_buf=True, manif_learn=True,
@@ -47,6 +68,10 @@ def config_for(tag):
     Longest-prefix match so suffixed reruns (e.g. sbmc_lr1e4_s0 from
     the runner's --suffix flag) resolve to their base config."""
     name = tag.rsplit("_s", 1)[0]
+    if "_expr4" in name:
+        # r4 pre-stabilization exp checkpoints: their parameterization
+        # no longer exists in the code — frozen, never re-evaluated
+        return None
     for table, extra in ((KPCN_CONFIGS, {"base_model": "kpcn"}),
                          (SS_CONFIGS, {})):
         for key in sorted(table, key=len, reverse=True):

@@ -254,6 +254,12 @@ def main():
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--configs", type=str,
                     default="sbmc,sbmc_fmse,lbmc,lbmc_fmse")
+    ap.add_argument("--sbmc_splat", type=str, default="exp",
+                    choices=("exp", "softmax"),
+                    help="SBMC splat-weight parameterization "
+                         "(models/sbmc.py); folded into the run tag so "
+                         "softmax-era and exp-era artifacts never collide")
+    ap.add_argument("--seed_base", type=int, default=0)
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -274,18 +280,26 @@ def main():
           flush=True)
 
     summary = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_base, args.seed_base + args.seeds):
         for name in args.configs.split(","):
             overrides = dict(CONFIGS[name])
             if args.lr_dncnn is not None:
                 overrides["lr_dncnn"] = args.lr_dncnn
-            rows = run(name + args.suffix, overrides, args, train_corpus,
+            run_name = name + args.suffix
+            if overrides["base_model"] == "sbmc":
+                overrides["sbmc_splat"] = args.sbmc_splat
+                # weighting folded into the tag: softmax-era and
+                # exp-era artifacts can never collide (r4 lesson —
+                # the pre-stabilization exp runs are archived under
+                # *_expr4_* tags)
+                run_name = f"{name}_{args.sbmc_splat}{args.suffix}"
+            rows = run(run_name, overrides, args, train_corpus,
                        val_batches, seed)
             best = min(r["val_relmse_1e3"] for r in rows)
-            summary.append((name + args.suffix, seed, best,
+            summary.append((run_name, seed, best,
                             rows[-1]["val_relmse_1e3"],
                             rows[-1]["input_relmse_1e3"]))
-            print(f"[summary] {name}{args.suffix} s{seed}: best {best}",
+            print(f"[summary] {run_name} s{seed}: best {best}",
                   flush=True)
 
     with open(os.path.join(OUT, "summary.csv"), "a") as f:

@@ -129,6 +129,85 @@ def test_splat_normalized_constant_preservation(rng):
     np.testing.assert_allclose(np.asarray(out), 4.0, rtol=1e-4)
 
 
+def test_splat_normalized_logits_matches_naive_exp(rng):
+    """At moderate logits the stabilized splat equals the naive
+    exp-then-normalize computation, values AND gradients (the per-pixel
+    shift cancels exactly in the ratio)."""
+    from wcmc_tpu.ops.splat import splat_normalized_logits
+
+    b, s, h, w = 1, 2, 9, 9
+    vals = jnp.asarray(rng.random((b, s, h, w, 3)).astype(np.float32))
+    logits = jnp.asarray(
+        (2.0 * rng.standard_normal((b, s, h, w, K * K))).astype(np.float32)
+    )
+
+    def f_stab(lg):
+        return splat_normalized_logits(vals, lg, K)
+
+    def f_naive(lg):
+        return splat_normalized(vals, jnp.exp(lg), K)
+
+    np.testing.assert_allclose(np.asarray(f_stab(logits)),
+                               np.asarray(f_naive(logits)),
+                               rtol=1e-4, atol=1e-5)
+    g1 = jax.grad(lambda lg: jnp.sum(f_stab(lg) ** 2))(logits)
+    g2 = jax.grad(lambda lg: jnp.sum(f_naive(lg) ** 2))(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_splat_normalized_logits_shift_invariant(rng):
+    """Adding any constant to every logit leaves the normalized output
+    exactly unchanged (only weight ratios reach the output)."""
+    from wcmc_tpu.ops.splat import splat_normalized_logits
+
+    b, s, h, w = 1, 2, 9, 9
+    vals = jnp.asarray(rng.random((b, s, h, w, 3)).astype(np.float32))
+    logits = jnp.asarray(
+        rng.standard_normal((b, s, h, w, K * K)).astype(np.float32)
+    )
+    out = splat_normalized_logits(vals, logits, K)
+    out2 = splat_normalized_logits(vals, logits + 123.0, K)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_splat_normalized_logits_firefly_rejection(rng):
+    """A huge-radiance sample whose logits sit ~200 below its
+    neighbors' is excluded from the output, with no NaN/Inf anywhere
+    and live gradients — the upstream KernelWeighting firefly-rejection
+    semantics the per-sample softmax cannot express, at a logit spread
+    where the r4 per-image shift collapsed the whole image to zero."""
+    from wcmc_tpu.ops.splat import splat_normalized_logits
+
+    b, s, h, w = 1, 4, 12, 12
+    vals = jnp.asarray(rng.random((b, s, h, w, 3)).astype(np.float32))
+    # sample 0, pixel (6,6) is a firefly
+    vals = vals.at[0, 0, 6, 6, :].set(1e4)
+    logits = jnp.asarray(
+        rng.standard_normal((b, s, h, w, K * K)).astype(np.float32)
+    )
+    base = splat_normalized_logits(
+        vals.at[0, 0, 6, 6, :].set(0.0), logits, K)
+    # rejection: the firefly sample's kernel is pushed way down; add a
+    # +100 spike elsewhere to reproduce the global-shift death geometry
+    rej = logits.at[0, 0, 6, 6, :].add(-200.0)
+    rej = rej.at[0, 1, 1, 1, 0].add(100.0)
+    out = splat_normalized_logits(vals, rej, K)
+    assert np.isfinite(np.asarray(out)).all()
+    # away from both the firefly and the +100 spike the output is
+    # unaffected by the 1e4 radiance
+    np.testing.assert_allclose(np.asarray(out[0, 8:, 8:]),
+                               np.asarray(base[0, 8:, 8:]),
+                               rtol=5e-2, atol=1e-3)
+    # and typical pixels did NOT fade to zero (the r4 failure mode)
+    assert float(jnp.mean(jnp.abs(out[0, 8:, 8:]))) > 0.05
+    g = jax.grad(lambda lg: jnp.sum(
+        splat_normalized_logits(vals, lg, K)[0, 8:, 8:] ** 2))(rej)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
 @pytest.mark.parametrize("kernel_h", [8, 11])
 def test_pallas_gather_interpret_matches_xla(rng, kernel_h):
     """Pallas kernel logic (interpreter mode) vs XLA reference,

@@ -78,6 +78,7 @@ def make_config(args) -> TrainConfig:
         seed=args.seed,
         compute_dtype=getattr(args, 'compute_dtype', 'bfloat16'),
         sbmc_ksize=getattr(args, "sbmc_ksize", 21),
+        sbmc_splat=getattr(args, "sbmc_splat", "exp"),
         warmup_steps=getattr(args, "warmup_steps", 0),
     )
 
@@ -133,6 +134,14 @@ if __name__ == "__main__":
                         help="use the sbmc-specific buffer.")
     parser.add_argument("--sbmc_ksize", type=int, default=21,
                         help="splatting kernel width (TPU extension).")
+    parser.add_argument("--sbmc_splat", type=str, default="exp",
+                        choices=("exp", "softmax"),
+                        help="splat-weight parameterization: 'exp' is the "
+                             "upstream KernelWeighting semantics (per-pixel "
+                             "stabilized, firefly rejection); 'softmax' is "
+                             "the per-sample-normalized ablation knob "
+                             "(collapses to identity on firefly corpora — "
+                             "models/sbmc.py).")
     parser.add_argument("--warmup_steps", type=int, default=500,
                         help="linear update warmup (TPU extension; 0 "
                              "restores the reference's cold start — at "

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from wcmc_tpu.models.blocks import UNet
-from wcmc_tpu.ops.splat import splat_normalized
+from wcmc_tpu.ops.splat import splat_normalized, splat_normalized_logits
 
 
 class Multisteps(nn.Module):
@@ -36,10 +36,14 @@ class Multisteps(nn.Module):
     # sbmc pkg's CUDA/Halide op): w = exp(logit), normalized only by
     # the TOTAL weight splatted to each pixel — a sample can assign
     # itself near-zero total weight, which is the paper's outlier
-    # (firefly) rejection mechanism.  "softmax" pins every sample's
-    # kernel sum to exactly 1, making relative down-weighting across
-    # samples impossible; measured on the toy corpus it collapses to
-    # delta kernels (identity output) at every lr tried — kept only
+    # (firefly) rejection mechanism; stabilized per OUTPUT pixel in
+    # ops/splat.py::splat_normalized_logits (the r4 per-image max
+    # shift made eps dominate the denominator as soon as any logit
+    # spiked, collapsing the output to zero — see the op docstring).
+    # "softmax" pins every sample's kernel sum to exactly 1, making
+    # relative down-weighting across samples impossible; its only
+    # anti-firefly strategy is delta kernels, and measured on the toy
+    # corpus it collapses to identity at every lr tried — kept only
     # as an ablation knob (experiments/sample_space/README.md).
     splat_weighting: str = "exp"
 
@@ -108,21 +112,12 @@ class Multisteps(nn.Module):
         logits = logits.reshape(b, s, h, w, self.ksize**2)
         if self.splat_weighting == "softmax":
             weights = nn.softmax(logits, axis=-1)
-        else:
-            # log-domain weights, normalized post-splat.  The shift is
-            # a per-IMAGE max — constant across every contribution
-            # (sample, offset) to a given output pixel, so it cancels
-            # exactly in the normalized ratio — cheap and
-            # overflow-safe; logits far below the max underflow to 0,
-            # which is the intended "reject this sample" limit.
-            shift = jnp.max(logits, axis=(1, 2, 3, 4), keepdims=True)
-            if self.sample_axis_name is not None:
-                # shards see only their local samples; the shift must
-                # be identical across shards or it no longer cancels
-                shift = jax.lax.pmax(shift, self.sample_axis_name)
-            weights = jnp.exp(logits - jax.lax.stop_gradient(shift))
-        return splat_normalized(
-            radiance, weights, self.ksize,
+            return splat_normalized(
+                radiance, weights, self.ksize,
+                sample_axis_name=self.sample_axis_name,
+            )
+        return splat_normalized_logits(
+            radiance, logits, self.ksize,
             sample_axis_name=self.sample_axis_name,
         )
 
