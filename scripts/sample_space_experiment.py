@@ -157,6 +157,28 @@ def val_relmse(iface, val_batches, base):
     return float(np.mean(vals)), float(np.mean(inputs))
 
 
+def sbmc_logit_stats(iface, batch):
+    """Kernel-head logit spread on one val batch — the splat-health
+    diagnostic: the r4 collapse was a logit spike driving the global
+    shift (spread is harmless now that stabilization is per output
+    pixel, but a silently exploding head would still show up here)."""
+    import jax.numpy as jnp
+
+    params = {k: v.params for k, v in iface.states.items()}
+    net_batch = batch
+    if iface.use_llpm_buf:
+        net_batch, _, _ = iface._augment_features(
+            params, batch, slice_recon_only=True)
+    _, inter = iface.models["dncnn"].apply(
+        {"params": params["dncnn"]}, net_batch,
+        capture_intermediates=lambda mdl, _: mdl.name == "kernel_head")
+    lg = inter["intermediates"]["kernel_head"]["__call__"][0]
+    lg = jnp.asarray(lg).astype(jnp.float32)
+    return {"logit_min": round(float(lg.min()), 2),
+            "logit_mean": round(float(lg.mean()), 2),
+            "logit_max": round(float(lg.max()), 2)}
+
+
 def run(name, overrides, args, train_corpus, val_batches, seed):
     import jax
 
@@ -207,8 +229,13 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
                 sums[k] = sums.get(k, 0.0) + float(v)
         iface.to_eval_mode()
         rel, rel_in = val_relmse(iface, val_batches, base)
+        diag = {}
+        if base == "sbmc":
+            diag = sbmc_logit_stats(
+                iface, make_view(base, iface.use_llpm_buf)(val_batches[0]))
         iface.to_train_mode()
         row = {
+            **diag,
             "epoch": epoch,
             "steps": (epoch + 1) * args.chunks_per_epoch * args.chunk,
             "val_relmse_1e3": round(rel * 1e3, 4),

@@ -281,10 +281,20 @@ def test_shuffle_loader_never_mixes_shapes():
         def __len__(self):
             return 12
 
-        def load_patches(self, img, rng=None):
+        def load_image_and_coords(self, img, rng=None):
             s = 2 if img < 2 else 4
-            return [{"radiance": np.full((s, 8, 8, 3), img, np.float32)}
-                    for _ in range(4)]
+            sample = {"radiance": np.full((8, 8, s, 3), img, np.float32)}
+            return sample, [(0, 0)] * 4
+
+        augment = False
+
+        def cut_patch(self, sample, x, y, rng=None):
+            return {"radiance": np.transpose(sample["radiance"],
+                                             (2, 0, 1, 3)).copy()}
+
+        def cut_patch_into(self, sample, x, y, out, i):
+            out["radiance"][i] = np.transpose(sample["radiance"],
+                                              (2, 0, 1, 3))
 
     loader = ShuffleLoader(FakeDS(), batch_size=4, window_images=3,
                            workers=2, seed=0)

@@ -374,6 +374,67 @@ class DenoiseDataset:
         ys = rng.integers(0, w - PATCH_SIZE + 1, n)
         return list(zip(xs.tolist(), ys.tolist()))
 
+    def load_image_and_coords(self, img_idx: int,
+                              rng: np.random.Generator | None = None):
+        """Load one image dict plus its importance-sampled patch
+        coordinates WITHOUT cutting any patches — the lazy half of the
+        train loader.  Cutting 256 overlapping 128-px patches from a
+        256-px image eagerly multiplies the image 64x (~6.3 GB and
+        ~56 s per image with LLPM paths): that was the r4 disk-CLI
+        blowup (119-130 GB RSS, 2.7-38 s/step).  Patches are instead
+        sliced per batch at serve time (``cut_patch``), so host memory
+        holds images (~100 MB each), never patch inventories."""
+        if rng is None:
+            rng = self._rng
+        sample, in_fn = self._load_image(img_idx)
+        any_key = next(iter(sample))
+        h, w = sample[any_key].shape[:2]
+        prob = None
+        prob_fn = None
+        if self.sampling == "random":
+            prob_fn = _cache_name(in_fn, "prob_imp")
+            if os.path.isfile(prob_fn):
+                prob = np.load(prob_fn)
+        coords = self._sample_coords((h, w), prob, prob_key=prob_fn, rng=rng)
+        return sample, coords
+
+    def cut_patch(self, sample: dict, x: int, y: int,
+                  rng: np.random.Generator | None = None) -> dict:
+        """Slice one (x, y) patch out of a loaded image dict, in model
+        layout; applies augmentation when the dataset has it on."""
+        if self.augment:
+            patch = {
+                k: np.ascontiguousarray(v[x:x + PATCH_SIZE, y:y + PATCH_SIZE])
+                for k, v in sample.items()
+            }
+            patch = self.random_rot(
+                self.random_flip(patch, rng or self._rng), rng or self._rng
+            )
+            return self._to_model_layout(patch)
+        # transpose-before-copy: one strided copy straight into model
+        # layout (copying (H,W,S,C) first and transposing later costs a
+        # second full copy at np.stack time — ~2x the serve bandwidth)
+        out = {}
+        for k, v in sample.items():
+            p = v[x:x + PATCH_SIZE, y:y + PATCH_SIZE]
+            if p.ndim == 4:
+                p = np.transpose(p, (2, 0, 1, 3))
+            out[k] = np.ascontiguousarray(p)
+        return out
+
+    def cut_patch_into(self, sample: dict, x: int, y: int,
+                       out: dict, i: int) -> None:
+        """Slice patch (x, y) directly into row ``i`` of a preallocated
+        batch dict — ONE strided copy per key, no intermediate patch or
+        np.stack pass. On a single-core host the serve path is pure
+        memory bandwidth (~200 MB/batch with LLPM paths), so copy count
+        is the loader's throughput."""
+        for k, v in sample.items():
+            p = v[x:x + PATCH_SIZE, y:y + PATCH_SIZE]
+            if p.ndim == 4:
+                p = np.transpose(p, (2, 0, 1, 3))
+            np.copyto(out[k][i], p)
+
     def load_patches(self, img_idx: int,
                      rng: np.random.Generator | None = None) -> list:
         """Load one image and cut its patches; pure given ``rng`` (no
@@ -609,7 +670,8 @@ class BatchLoader:
 
 
 class ShuffleLoader:
-    """Cross-image shuffling batch loader with threaded image prefetch.
+    """Cross-image shuffling batch loader with threaded image prefetch
+    and LAZY patch cutting.
 
     Replaces :class:`BatchLoader` for training. Two weaknesses of the
     sequential loader (vs the reference's globally-shuffling torch
@@ -623,13 +685,19 @@ class ShuffleLoader:
 
     Here images are visited in a fresh random order each epoch
     (``epoch`` is tracked internally per ``__iter__`` call), a
-    ``workers``-thread pool prefetches the next images' patch lists
-    while batches are served, and served batches are drawn uniformly
-    from a shuffle buffer holding ``window_images`` images' patches —
-    tf.data shuffle-buffer semantics with bounded host memory.
+    ``workers``-thread pool prefetches the next IMAGES (dict + patch
+    coordinates, no patches) while batches are served, and each served
+    batch draws its patches across a window of ``window_images`` loaded
+    images, slicing them out at serve time. Holding images instead of
+    patch inventories is what bounds host memory: with 128-px patches
+    at 256 per 256-px image, eager extraction inflates every image 64x
+    (~6.3 GB with LLPM paths — the r4 119-GB disk-CLI blowup); lazy
+    slicing keeps the window at ~window_images x image size.
 
-    Deterministic given ``seed`` (worker rngs are derived per
-    (epoch, image), independent of thread scheduling).
+    Deterministic given ``seed``: image order, per-image coordinates,
+    and batch draws all come from seeded generators, and images are
+    admitted to the window in submission order (never completion
+    order), so thread scheduling cannot change what is served.
     """
 
     def __init__(self, dataset, batch_size: int, window_images: int = 4,
@@ -645,7 +713,7 @@ class ShuffleLoader:
                 for i in range(len(d.gt_files))
             ]
         else:
-            assert hasattr(dataset, "load_patches"), (
+            assert hasattr(dataset, "load_image_and_coords"), (
                 "ShuffleLoader needs a DenoiseDataset-like dataset"
             )
             self._units = [
@@ -680,30 +748,19 @@ class ShuffleLoader:
         order = order_rng.permutation(n_images)
         draw_rng = np.random.default_rng((self.seed, epoch, 1))
 
-        # shape-partitioned shuffle buffer (multi-spp style datasets
-        # serve heterogeneous sample axes; a batch must be homogeneous)
-        buffers: dict = {}
+        # window entries: one loaded image + its remaining coords,
+        # keyed by patch shape (multi-spp datasets serve heterogeneous
+        # sample axes; a batch must be homogeneous)
+        class _Entry:
+            __slots__ = ("ds", "sample", "coords", "rng", "key")
 
-        def pop_batch(force=False):
-            key = max(buffers, key=lambda k: len(buffers[k]), default=None)
-            if key is None:
-                return None
-            pool = buffers[key]
-            if len(pool) < self.batch_size:
-                if not force or self.drop_last:
-                    return None
-            take = min(self.batch_size, len(pool))
-            idx = draw_rng.choice(len(pool), size=take, replace=False)
-            items = [pool[i] for i in idx]
-            for i in sorted(idx, reverse=True):
-                pool[i] = pool[-1]
-                pool.pop()
-            if not pool:
-                del buffers[key]
-            return {
-                k: np.stack([it[k] for it in items], axis=0)
-                for k in items[0]
-            }
+            def __init__(self, ds, sample, coords, rng):
+                self.ds, self.sample, self.coords, self.rng = (
+                    ds, sample, coords, rng)
+                # probe shape without keeping the patch: sample-axis
+                # dims identify the pool (S varies across sub-datasets)
+                self.key = tuple(sorted(
+                    (k, v.shape[2:]) for k, v in sample.items()))
 
         with ThreadPoolExecutor(self.workers) as ex:
             pending = []
@@ -715,34 +772,77 @@ class ShuffleLoader:
                     unit = int(order[next_img])
                     ds, img = self._units[unit]
                     rng = np.random.default_rng((self.seed, epoch, 2, unit))
-                    pending.append(ex.submit(ds.load_patches, img, rng))
+                    pending.append(
+                        (ds, rng, ex.submit(ds.load_image_and_coords,
+                                            img, rng)))
                     next_img += 1
+
+            def admit(window):
+                ds, rng, fut = pending.pop(0)
+                sample, coords = fut.result()
+                coords = list(coords)
+                draw_rng.shuffle(coords)
+                window.append(_Entry(ds, sample, coords, rng))
+                submit_next()
+
+            def pop_batch(window, force=False):
+                by_key: dict = {}
+                for e in window:
+                    by_key.setdefault(e.key, []).append(e)
+                best = max(by_key.values(), default=None,
+                           key=lambda es: sum(len(e.coords) for e in es))
+                if best is None:
+                    return None
+                total = sum(len(e.coords) for e in best)
+                if total < self.batch_size and (not force or self.drop_last):
+                    return None
+                take = min(self.batch_size, total)
+                picks = []
+                for _ in range(take):
+                    # draw an image weighted by remaining coords, pop
+                    # one of its (pre-shuffled) coordinates
+                    counts = np.asarray([len(e.coords) for e in best])
+                    pick = int(draw_rng.choice(len(best),
+                                               p=counts / counts.sum()))
+                    e = best[pick]
+                    x, y = e.coords.pop()
+                    picks.append((e, x, y))
+                for e in [e for e in best if not e.coords]:
+                    window.remove(e)
+                if any(p[0].ds.augment for p in picks):
+                    # augment mutates per-entry rngs — keep it serial
+                    items = [e.ds.cut_patch(e.sample, x, y, e.rng)
+                             for e, x, y in picks]
+                    return {
+                        k: np.stack([it[k] for it in items], axis=0)
+                        for k in items[0]
+                    }
+                # preallocate the batch and cut straight into it: one
+                # strided copy per patch, no intermediate + stack pass
+                # (the first patch discovers the model-layout shapes)
+                e0, x0, y0 = picks[0]
+                first = e0.ds.cut_patch(e0.sample, x0, y0, e0.rng)
+                out = {k: np.empty((take,) + v.shape, v.dtype)
+                       for k, v in first.items()}
+                for k, v in first.items():
+                    out[k][0] = v
+                for i, (e, x, y) in enumerate(picks[1:], 1):
+                    e.ds.cut_patch_into(e.sample, x, y, out, i)
+                return out
 
             for _ in range(self.window_images):
                 submit_next()
 
-            while pending:
-                patches = pending.pop(0).result()
-                submit_next()
-                for p in patches:
-                    buffers.setdefault(self._shape_key(p), []).append(p)
-                # serve while keeping ~window_images of slack buffered
-                # (capped so huge patches_per_image cannot blow host RAM)
-                target = min(
-                    self.window_images * max(1, len(patches)),
-                    self.max_buffer_patches,
-                )
-                while True:
-                    total = sum(len(v) for v in buffers.values())
-                    if pending and total <= target:
-                        break
-                    batch = pop_batch(force=not pending)
-                    if batch is None:
-                        break
+            window: list = []
+            while pending or window:
+                # keep the window full while images remain (admission
+                # happens in submission order — deterministic)
+                while pending and len(window) < self.window_images:
+                    admit(window)
+                batch = pop_batch(window, force=not pending)
+                if batch is not None:
                     yield batch
-
-            while True:
-                batch = pop_batch(force=True)
-                if batch is None:
-                    break
-                yield batch
+                elif pending:
+                    admit(window)   # nothing servable yet: widen
+                else:
+                    break           # drained (drop_last leftovers)

@@ -46,6 +46,16 @@ class Multisteps(nn.Module):
     # corpus it collapses to identity at every lr tried — kept only
     # as an ablation knob (experiments/sample_space/README.md).
     splat_weighting: str = "exp"
+    # Smooth bound on the splat logits: l -> B*tanh(l/B).  The
+    # normalized splat is invariant to logit SHIFT but not SPREAD, and
+    # nothing in the loss penalizes spread, so sharpening pressure
+    # grows it without bound (measured r5: +-0.09 at init -> +-44,000
+    # within 128 warmup steps at the reference lr 5e-4, then NaN via
+    # the 1/(den+eps) gradient amplifier in weight-starved pixels).
+    # tanh is identity to first order near 0, caps the spread at 2B
+    # (rejection ratio e^{2B} ~ 1e13 at B=15 — far beyond what firefly
+    # suppression needs), and keeps gradients alive everywhere.
+    splat_logit_bound: float = 15.0
 
     def _chain_params(self, name, dims):
         ws, bs = [], []
@@ -116,6 +126,16 @@ class Multisteps(nn.Module):
                 radiance, weights, self.ksize,
                 sample_axis_name=self.sample_axis_name,
             )
+        # center on the per-image mean first (stop-grad): the splat is
+        # exactly invariant to a global logit shift, so the bound must
+        # act on the SPREAD around the mean, not absolute scale — this
+        # also keeps the exact shift-invariance property through tanh
+        center = jnp.mean(logits, axis=(1, 2, 3, 4), keepdims=True)
+        if self.sample_axis_name is not None:
+            center = jax.lax.pmean(center, self.sample_axis_name)
+        bnd = self.splat_logit_bound
+        logits = bnd * jnp.tanh(
+            (logits - jax.lax.stop_gradient(center)) / bnd)
         return splat_normalized_logits(
             radiance, logits, self.ksize,
             sample_axis_name=self.sample_axis_name,
