@@ -169,6 +169,41 @@ def test_multisteps_softmax_ablation_mode():
     np.testing.assert_allclose(np.asarray(m.apply(params, b)), 1.0, rtol=1e-4)
 
 
+def test_multisteps_trains_without_activation_runaway():
+    """Regression for the r4/r5 SBMC collapse: the splat loss rewards
+    kernel sharpness and that gradient distributes a tiny gain
+    increase over every layer of the ~50-conv trunk, which compounded
+    exponentially (raw logits 0.09 -> 4e7 within 3 steps at lr 1e-3,
+    f32 inf by step 19, output frozen at zero). With the stage-RMS
+    trunk + standardized splat logits, an aggressive short overfit
+    must keep the loss finite and the raw head output bounded."""
+    import jax.numpy as jnp
+
+    from wcmc_tpu.data.batches import synthetic_batch
+    from wcmc_tpu.train.factory import TrainConfig, init_interfaces
+
+    cfg = TrainConfig(base_model="sbmc", sbmc_ksize=5, use_llpm_buf=False,
+                      manif_learn=False, manif_loss=None, lr_dncnn=1e-2,
+                      finite_check_every=10**9, warmup_steps=0)
+    iface = init_interfaces(cfg)[0]
+    rng = np.random.default_rng(0)
+    b = synthetic_batch(rng, "sbmc", batch_size=1, patch=16, spp=2,
+                        use_llpm_buf=False)
+    iface.to_train_mode()
+    for _ in range(12):
+        iface.preprocess(b)
+        ld = iface.train_batch(b)
+    assert np.isfinite(float(ld["l_total"]))
+    m = iface.models["dncnn"]
+    _, inter = m.apply(
+        {"params": iface.states["dncnn"].params}, b,
+        capture_intermediates=lambda mdl, _: mdl.name == "kernel_head")
+    lg = jnp.asarray(
+        inter["intermediates"]["kernel_head"]["__call__"][0]
+    ).astype(jnp.float32)
+    assert float(jnp.abs(lg).max()) < 1e4
+
+
 def test_layernet_shapes():
     m = LayerNet(n_in=24, ksize=5, width=16, embed_width=8)
     b = {

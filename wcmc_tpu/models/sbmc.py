@@ -46,16 +46,52 @@ class Multisteps(nn.Module):
     # corpus it collapses to identity at every lr tried — kept only
     # as an ablation knob (experiments/sample_space/README.md).
     splat_weighting: str = "exp"
-    # Smooth bound on the splat logits: l -> B*tanh(l/B).  The
-    # normalized splat is invariant to logit SHIFT but not SPREAD, and
-    # nothing in the loss penalizes spread, so sharpening pressure
-    # grows it without bound (measured r5: +-0.09 at init -> +-44,000
-    # within 128 warmup steps at the reference lr 5e-4, then NaN via
-    # the 1/(den+eps) gradient amplifier in weight-starved pixels).
-    # tanh is identity to first order near 0, caps the spread at 2B
-    # (rejection ratio e^{2B} ~ 1e13 at B=15 — far beyond what firefly
-    # suppression needs), and keeps gradients alive everywhere.
-    splat_logit_bound: float = 15.0
+    # Splat-logit standardization gain: l -> B*(l - mean)/sqrt(var+1).
+    # The normalized splat is invariant to logit SHIFT but not SPREAD,
+    # and nothing in the loss penalizes spread, so sharpening pressure
+    # grows it without bound (measured r5 on-chip: +-0.09 at init ->
+    # +-44,000 within 128 warmup steps at the reference lr 5e-4, then
+    # NaN via the 1/(den+eps) gradient amplifier in weight-starved
+    # pixels; a hard tanh bound contained the numerics but the raw
+    # head ran to +-4e19 and saturated the rails — training froze at
+    # val 454 with zero gradient).  Standardizing per image makes the
+    # global-scale direction asymptotically NULL in the loss landscape
+    # (Adam has nothing to chase), keeps gradients alive at any
+    # underlying scale, and the +1 variance floor leaves small logits
+    # untouched at init (no noise amplification).  Spread after
+    # standardization ~ +-4 sigma * B: rejection ratios ~ e^80 at
+    # B=10, far beyond what firefly suppression needs.
+    splat_logit_gain: float = 10.0
+
+    def _stage_rms(self, v, ref=None):
+        """Per-image RMS normalization at a stage boundary.
+
+        NOTE(stability): deviation from the upstream sbmc Multisteps
+        (reference train_sbmc.py:30), which has no normalization.  The
+        trunk composes ~50 convs (3 UNets + MLP chains); the splat
+        loss rewards kernel sharpness, and that gradient distributes a
+        tiny gain increase over EVERY layer, which compounds
+        exponentially in depth — measured r5 (CPU, lr 1e-3): per-UNet
+        gain drifted from ~1 to ~1e3 within 3 optimizer steps, raw
+        logits 0.09 -> 4e7, f32 inf by step 19.  RMS-normalizing each
+        stage output makes every stage's scale direction null in the
+        loss landscape, so there is nothing for the optimizer to
+        chase.  Returns v (and ref, scaled by the SAME factor, when
+        the caller must stay consistent — e.g. the sample mean that
+        belongs to x)."""
+        import jax
+
+        ms = jnp.mean(jnp.square(v.astype(jnp.float32)),
+                      axis=tuple(range(1, v.ndim)), keepdims=True)
+        if self.sample_axis_name is not None and v.ndim == 4:
+            # (b, s_local, hw, c): the moment spans the sharded spp axis
+            ms = jax.lax.pmean(ms, self.sample_axis_name)
+        r = jax.lax.rsqrt(ms + 1e-8)
+        if ref is None:
+            return (v * r.astype(v.dtype)).astype(v.dtype)
+        rr = r.reshape(r.shape[0], *([1] * (ref.ndim - 1)))
+        return ((v * r.astype(v.dtype)).astype(v.dtype),
+                (ref * rr.astype(ref.dtype)).astype(ref.dtype))
 
     def _chain_params(self, name, dims):
         ws, bs = [], []
@@ -90,6 +126,7 @@ class Multisteps(nn.Module):
         # compute_dx=True: under use_llpm_buf the features embed the
         # LEARNED p-buffer, so d(features) must flow to the backbone
         x, mean = pathnet_embed(xf, ws_e, bs_e, leaky, True)
+        x, mean = self._stage_rms(x, mean)
 
         for step in range(self.n_steps):
             ctx = mean.reshape(b, h, w, wd)
@@ -100,6 +137,7 @@ class Multisteps(nn.Module):
                 width=self.width, ksize=3, output_type="leaky_relu",
                 pooling="max", dtype=self.dtype, name=f"propagation_{step}",
             )(ctx.astype(cdtype))
+            ctx = self._stage_rms(ctx)
             # fused update chain over [x | broadcast_S(ctx)]; the next
             # step's sample mean comes out of the same kernel
             ws_u, bs_u = self._chain_params(
@@ -113,7 +151,7 @@ class Multisteps(nn.Module):
             else:
                 x, ssum, _ = pathnet_head(x, ctx_flat, ws_u, bs_u,
                                           leaky[:2], True, cdtype)
-                mean = ssum / s
+                x, mean = self._stage_rms(x, ssum / s)
 
         x = x.reshape(b * s, h, w, wd)
         logits = nn.Conv(
@@ -126,16 +164,18 @@ class Multisteps(nn.Module):
                 radiance, weights, self.ksize,
                 sample_axis_name=self.sample_axis_name,
             )
-        # center on the per-image mean first (stop-grad): the splat is
-        # exactly invariant to a global logit shift, so the bound must
-        # act on the SPREAD around the mean, not absolute scale — this
-        # also keeps the exact shift-invariance property through tanh
+        # standardize per image (see splat_logit_gain above); under
+        # sample sharding the moments become pmeans so every shard
+        # normalizes identically
         center = jnp.mean(logits, axis=(1, 2, 3, 4), keepdims=True)
         if self.sample_axis_name is not None:
             center = jax.lax.pmean(center, self.sample_axis_name)
-        bnd = self.splat_logit_bound
-        logits = bnd * jnp.tanh(
-            (logits - jax.lax.stop_gradient(center)) / bnd)
+        var = jnp.mean((logits - center) ** 2, axis=(1, 2, 3, 4),
+                       keepdims=True)
+        if self.sample_axis_name is not None:
+            var = jax.lax.pmean(var, self.sample_axis_name)
+        logits = (self.splat_logit_gain * (logits - center)
+                  * jax.lax.rsqrt(var + 1.0))
         return splat_normalized_logits(
             radiance, logits, self.ksize,
             sample_axis_name=self.sample_axis_name,
