@@ -45,6 +45,17 @@ CONFIGS = {
     # two-phase: run() trains manifold-only then frozen-backbone KPCN
     "kpcn_pre": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE",
                      kpcn_pre=True),
+    # gradient-parity sweep (VERDICT r4 item 7): at the reference
+    # w_manif 0.1 the manifold term carries 0.03-0.5% of the PathNet
+    # gradient norm (the r4 grad-share diagnostic) — too small to
+    # steer. These give the loss an actual vote; upstream treats
+    # w_manif as a sweep flag too (reference train_kpcn.py:390-396).
+    "fmse_w1": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE",
+                    w_manif=(1.0,)),
+    "fmse_w10": dict(use_llpm_buf=True, manif_learn=True, manif_loss="FMSE",
+                     w_manif=(10.0,)),
+    "fmse_w100": dict(use_llpm_buf=True, manif_learn=True,
+                      manif_loss="FMSE", w_manif=(100.0,)),
 }
 
 
@@ -336,13 +347,14 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
     if overrides.get("kpcn_pre"):
         return run_kpcn_pre(args, train_corpus, val_batches, seed)
 
-    cfg = TrainConfig(
+    kw = dict(
         base_model="kpcn", batch_size=args.batch, spp=8,
         lr_dncnn=1e-4, lr_pnet=(1e-4,), w_manif=(0.1,),
         train_branches=True, finite_check_every=10**9, seed=seed,
         kpcn_ksize=args.ksize,
-        **overrides,
     )
+    kw.update(overrides)
+    cfg = TrainConfig(**kw)
     iface = init_interfaces(cfg)[0]
     iface.to_train_mode()
     run_chunk = make_chunk_runner(iface, train_corpus, args.chunk)
