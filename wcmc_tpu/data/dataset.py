@@ -486,10 +486,6 @@ class DenoiseDataset:
             del big
         return patches
 
-    def _cut_patches(self, img_idx: int):
-        self._patches = self.load_patches(img_idx)
-        self._cached_idx = img_idx
-
     @staticmethod
     def random_flip(patch: dict, rng: np.random.Generator) -> dict:
         """Random horizontal/vertical flip of all spatial buffers.
@@ -529,11 +525,18 @@ class DenoiseDataset:
         return out
 
     def __getitem__(self, idx: int) -> dict:
+        # lazy per-image cache: image dict + coords, patches sliced on
+        # demand (eager 256-patch extraction cost ~56 s and ~6.3 GB per
+        # LLPM image — the r4 disk blowup; sequential serving only
+        # needs the image and one slice per access)
         img_idx = idx // self.patches_per_image
         pat_idx = idx % self.patches_per_image
         if self._cached_idx != img_idx or self._patches is None:
-            self._cut_patches(img_idx)
-        return self._patches[pat_idx]
+            self._patches = self.load_image_and_coords(img_idx)
+            self._cached_idx = img_idx
+        sample, coords = self._patches
+        x, y = coords[pat_idx]
+        return self.cut_patch(sample, x, y)
 
     def get_stats(self, keys=None, max_images: int | None = None):
         """Per-channel running mean/std/min/max over all images
