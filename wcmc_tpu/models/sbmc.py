@@ -176,8 +176,17 @@ class Multisteps(nn.Module):
             var = jax.lax.pmean(var, self.sample_axis_name)
         logits = (self.splat_logit_gain * (logits - center)
                   * jax.lax.rsqrt(var + 1.0))
+        # soft-cap AFTER standardization: whole-tensor moments cannot
+        # bound a SPARSE outlier (measured r5: one runaway tap-bias at
+        # raw +1568 standardizes to z~21 -> l'~210 under FMSE, a
+        # winner-take-all translated output whose gradients are all
+        # exactly dead). tanh keeps the bulk (+-10 = 1 sigma) nearly
+        # linear, rails pathological spikes at +-25 — a spread the
+        # capped bulk survives with LIVE gradients (e^-25 weights vs
+        # the 1e-12 splat eps), so a capped spike remains escapable.
+        logits = 25.0 * jnp.tanh(logits / 25.0)
         return splat_normalized_logits(
-            radiance, logits, self.ksize,
+            radiance, logits, self.ksize, eps=1e-12,
             sample_axis_name=self.sample_axis_name,
         )
 
