@@ -11,7 +11,7 @@ Usage:
     python scripts/make_disk_corpus.py            # once
     python scripts/eval_experiment_ckpts.py [--spps 4,8] [--glob sbmc]
 """
-import sys, os, glob, argparse
+import sys, os, glob, json, argparse
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -59,6 +59,8 @@ SS_CONFIGS = {
                  manif_loss=None),
     "lbmc_fmse": dict(base_model="lbmc", use_llpm_buf=True, manif_learn=True,
                       manif_loss="FMSE"),
+    "lbmc_buf": dict(base_model="lbmc", use_llpm_buf=True, manif_learn=False,
+                     manif_loss=None),
 }
 
 
@@ -117,9 +119,22 @@ def main():
             # params only: eval never steps the optimizer, and the
             # experiment runners' warmup/StepLR wrappers change the
             # opt-state tree arity vs the plain CLI build
-            restore_interface(iface, load_checkpoint(ck_fn),
-                              load_optim=False)
-            print(f"evaluating {tag} ({base}) at spp {spps}", flush=True)
+            ck = load_checkpoint(ck_fn)
+            restore_interface(iface, ck, load_optim=False)
+            # surface WHICH state this CSV describes (ADVICE r4: a
+            # two-stage config's best snapshot may predate the
+            # fine-tune stage; the runners stamp it into the ckpt)
+            meta = {"tag": tag,
+                    "best_epoch": ck.get("start_epoch", 0) - 1,
+                    "best_stage": ck.get("best_stage"),
+                    "best_val_relmse_1e3": ck.get("best_val_relmse_1e3")}
+            os.makedirs(os.path.join(ROOT, "experiments", d, "eval", tag),
+                        exist_ok=True)
+            with open(os.path.join(ROOT, "experiments", d, "eval", tag,
+                                   "ckpt_meta.json"), "w") as f:
+                json.dump(meta, f)
+            print(f"evaluating {tag} ({base}) at spp {spps} "
+                  f"[ckpt: {meta}]", flush=True)
             res = evaluate.denoise(
                 iface, os.path.join(DATA, "test", "input"), base,
                 spps=spps, output_dir=out_dir,

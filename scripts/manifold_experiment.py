@@ -289,7 +289,14 @@ def _train_epochs(iface, run_chunk, corpus, args, epochs, val_batches,
         print(f"[{tag}] {row}", flush=True)
         if best_ckpt_fn is not None and rel < best_rel:
             best_rel = rel
-            save_checkpoint(best_ckpt_fn, iface, epoch=epoch)
+            # the winning epoch/stage rides in the checkpoint so the
+            # eval sweep can surface WHICH state a CSV describes
+            # (two-stage configs: a "best" snapshot may predate the
+            # fine-tune stage — ADVICE r4)
+            save_checkpoint(best_ckpt_fn, iface, epoch=epoch,
+                            extra={"best_stage": stage_name,
+                                   "best_val_relmse_1e3":
+                                       row["val_relmse_1e3"]})
     return rows
 
 
@@ -421,7 +428,10 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
         if rel < best_rel:
             best_rel = rel
             save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface,
-                            epoch=epoch)
+                            epoch=epoch,
+                            extra={"best_stage": row["stage"],
+                                   "best_val_relmse_1e3":
+                                       row["val_relmse_1e3"]})
     return rows
 
 

@@ -36,6 +36,14 @@ CONFIGS = {
                  manif_loss=None, lr_dncnn=1e-4),
     "lbmc_fmse": dict(base_model="lbmc", use_llpm_buf=True, manif_learn=True,
                       manif_loss="FMSE", lr_dncnn=1e-4),
+    # divergence-diagnosis control (r5): the learned p-buffer features
+    # WITHOUT the manifold gradient — separates "extra pathnet-coupled
+    # input channels shift the early-training basin" from "the FMSE
+    # gradient destabilizes LayerNet" (lbmc_fmse_s1 plateaued at 941
+    # with manif carrying ~0.2% of the gradient norm, so the gradient
+    # story was always suspect)
+    "lbmc_buf": dict(base_model="lbmc", use_llpm_buf=True, manif_learn=False,
+                     manif_loss=None, lr_dncnn=1e-4),
 }
 
 
@@ -157,6 +165,27 @@ def val_relmse(iface, val_batches, base):
     return float(np.mean(vals)), float(np.mean(inputs))
 
 
+def lbmc_out_stats(iface, batch, base):
+    """Output-scale diagnostic for the LBMC collapse basin: the
+    lbmc_fmse_s1 plateau (941 ≈ input) showed LOW clamped-SMAPE train
+    loss with HIGH train RMSE — a state that fits dark pixels and
+    abandons bright ones.  Mean/p99 of output vs target makes that
+    dynamic-range compression visible per epoch."""
+    import jax.numpy as jnp
+
+    from wcmc_tpu.utils.utils import crop_like
+
+    b = make_view(base, iface.use_llpm_buf)(batch)
+    out, _ = iface.validate_batch(b)
+    out = np.asarray(out, np.float32)
+    tgt = np.asarray(crop_like(b["target_image"], jnp.asarray(out)),
+                     np.float32)
+    return {"out_mean": round(float(out.mean()), 4),
+            "out_p99": round(float(np.percentile(out, 99)), 3),
+            "tgt_mean": round(float(tgt.mean()), 4),
+            "tgt_p99": round(float(np.percentile(tgt, 99)), 3)}
+
+
 def sbmc_logit_stats(iface, batch):
     """Kernel-head logit spread on one val batch — the splat-health
     diagnostic: the r4 collapse was a logit spike driving the global
@@ -233,6 +262,8 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
         if base == "sbmc":
             diag = sbmc_logit_stats(
                 iface, make_view(base, iface.use_llpm_buf)(val_batches[0]))
+        elif base == "lbmc":
+            diag = lbmc_out_stats(iface, val_batches[0], base)
         iface.to_train_mode()
         row = {
             **diag,
@@ -255,7 +286,9 @@ def run(name, overrides, args, train_corpus, val_batches, seed):
         if rel < best_rel:
             best_rel = rel
             save_checkpoint(os.path.join(OUT, f"{tag}.ckpt"), iface,
-                            epoch=epoch)
+                            epoch=epoch,
+                            extra={"best_val_relmse_1e3":
+                                       row["val_relmse_1e3"]})
     return rows
 
 
