@@ -37,7 +37,7 @@ run_stage disk_cli timeout 7200 python train_kpcn.py \
   --data_dir /tmp/wcmc_data/r3corpus --desc r5_disk_proof \
   --model_name r5_disk_fmse --use_llpm_buf --manif_learn \
   --manif_loss FMSE --train_branches -b 8 -e 2 -v 1 --visual \
-  --save experiments/disk_cli
+  --serve_bf16 --save experiments/disk_cli
 kill $WATCH 2>/dev/null
 run_stage step_hist python scripts/step_time_hist.py \
   experiments/disk_cli/logs/r5_disk_fmse --device_ms 53.3

@@ -305,3 +305,22 @@ def test_shuffle_loader_never_mixes_shapes():
         assert b["radiance"].shape[1] in (2, 4)
         served += b["radiance"].shape[0]
     assert served == 12
+
+
+def test_serve_paths_bf16(data_root):
+    """serve_paths_dtype='bfloat16' must serve paths in bf16 with the
+    same values (up to bf16 rounding) and leave every other tensor
+    f32 — the single-core host is memcpy-bound and paths carry 77% of
+    the batch bytes (see DenoiseDataset.__init__ NOTE(perf))."""
+    import ml_dtypes
+
+    kw = dict(base_model="kpcn", mode="train", sampling="grid",
+              patches_per_image=2, use_llpm_buf=True)
+    ds32 = DenoiseDataset(data_root, 4, **kw)
+    ds16 = DenoiseDataset(data_root, 4, serve_paths_dtype="bfloat16", **kw)
+    p32, p16 = ds32[0], ds16[0]
+    assert p16["paths"].dtype == np.dtype(ml_dtypes.bfloat16)
+    assert p16["kpcn_diffuse_in"].dtype == np.float32
+    np.testing.assert_allclose(
+        p16["paths"].astype(np.float32), p32["paths"], rtol=8e-3, atol=1e-6
+    )

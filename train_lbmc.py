@@ -36,6 +36,7 @@ def init_data(args):
             use_g_buf=True, use_sbmc_buf=False,
             use_llpm_buf=args.use_llpm_buf, pnet_out_size=0, seed=args.seed,
             patches_per_image=args.patches_per_image,
+            serve_paths_dtype="bfloat16" if args.serve_bf16 else None,
         ),
         "val": MSDenoiseDataset(
             args.data_dir, 8, "lbmc", "val", BS_VAL, "grid",

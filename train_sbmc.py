@@ -35,6 +35,7 @@ def init_data(args):
             use_g_buf=args.use_g_buf, use_sbmc_buf=args.use_sbmc_buf,
             use_llpm_buf=args.use_llpm_buf, pnet_out_size=0, seed=args.seed,
             patches_per_image=args.patches_per_image,
+            serve_paths_dtype="bfloat16" if args.serve_bf16 else None,
         ),
         "val": MSDenoiseDataset(
             args.data_dir, 8, "sbmc", "val", BS_VAL, "grid",

@@ -70,6 +70,11 @@ class BasicArgumentParser(argparse.ArgumentParser):
         self.add_argument("--patches_per_image", type=int, default=None,
                           help="override patches sampled per image "
                           "(default: reference formula (256//bs)*bs).")
+        self.add_argument("--serve_bf16", action="store_true",
+                          help="serve the LLPM 'paths' tensor as bfloat16 "
+                          "from the host loader (halves the dominant "
+                          "host-copy + transfer bytes; PathNet computes "
+                          "in bf16 either way).")
 
 
 def add_manifold_flags(parser):

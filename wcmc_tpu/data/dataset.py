@@ -227,6 +227,7 @@ class DenoiseDataset:
         seed: int = 0,
         patches_per_image: int | None = None,
         augment: bool = False,
+        serve_paths_dtype: str | None = None,
     ):
         if base_model not in ("sbmc", "kpcn", "lbmc"):
             raise RuntimeError(f"Unknown baseline model {base_model}")
@@ -269,6 +270,20 @@ class DenoiseDataset:
         self._patches = None
         self._alias_samplers: dict = {}
         self.augment = augment
+        # NOTE(perf): the host is single-core and the serve path is
+        # memcpy-bound; with LLPM on, ``paths`` is 151 of the 197
+        # MB/batch (77%). Serving it bfloat16 halves host copy AND
+        # host->device transfer bytes at the precision the device
+        # already computes in (PathNet casts paths to bf16 — same as
+        # the device-resident experiment corpora, which stage paths in
+        # bf16). Opt-in via --serve_bf16 on the train CLIs.
+        self._paths_dtype = None
+        if serve_paths_dtype:
+            import ml_dtypes
+
+            self._paths_dtype = np.dtype(getattr(ml_dtypes, serve_paths_dtype)
+                                         if serve_paths_dtype == "bfloat16"
+                                         else serve_paths_dtype)
 
     # channel-size accessors matching the reference attribute names
     @property
@@ -327,7 +342,12 @@ class DenoiseDataset:
                 sample["kpcn_specular_in"] = np.concatenate(
                     [sample["kpcn_specular_in"], pw.mean(axis=2)], axis=-1
                 )
-            sample["paths"] = llpm[..., 1:]
+            paths = llpm[..., 1:]
+            if self._paths_dtype is not None:
+                # one amortized cast per image (~32 batches of serves
+                # read/write half the bytes afterwards)
+                paths = paths.astype(self._paths_dtype)
+            sample["paths"] = paths
 
         gt = np.load(gt_fn)
         if self.base_model == "sbmc":
@@ -594,7 +614,7 @@ class MSDenoiseDataset:
     def __init__(self, root, spp, base_model="sbmc", mode="train",
                  batch_size=8, sampling="random", use_g_buf=True,
                  use_sbmc_buf=True, use_llpm_buf=False, pnet_out_size=3,
-                 seed=0, patches_per_image=None):
+                 seed=0, patches_per_image=None, serve_paths_dtype=None):
         if spp < 2:
             raise RuntimeError(
                 "spp too low to randomize sample count, should be at least 2."
@@ -602,7 +622,8 @@ class MSDenoiseDataset:
         self.datasets = [
             DenoiseDataset(root, s, base_model, mode, batch_size, sampling,
                            use_g_buf, use_sbmc_buf, use_llpm_buf,
-                           pnet_out_size, seed + s, patches_per_image)
+                           pnet_out_size, seed + s, patches_per_image,
+                           serve_paths_dtype=serve_paths_dtype)
             for s in range(2, spp + 1)
         ]
         self._lengths = [len(d) for d in self.datasets]
