@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-5 part C (after r5b):
+#   1. full-frame eval CSVs for the sbmc_fmse_exp checkpoints (r5b's
+#      --glob sbmc_exp is a substring match and does not catch them)
+#   2. w_manif gradient-parity sweep (VERDICT r5 item 7): FMSE at
+#      w_manif {1,10,100} x 2 seeds — at the reference 0.1 the manifold
+#      term carries 0.03-0.5% of the PathNet gradient norm
+#   3. lbmc_buf control, 3 seeds: LLPM input channels WITHOUT the
+#      manifold gradient — separates input-channel effects from
+#      FMSE-gradient effects in the LBMC collapse story
+# Cleanup trap: never exit leaving a chip-holding child behind.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/.axon_site
+RC=/tmp/r5_rc.txt
+CHILD=""
+trap '[ -n "$CHILD" ] && kill "$CHILD" 2>/dev/null; wait' EXIT
+
+run_stage() {
+  local tag="$1"; shift
+  echo "[r5c] start $tag $(date +%H:%M:%S)"
+  "$@" &
+  CHILD=$!
+  wait "$CHILD"; local rc=$?
+  CHILD=""
+  echo "$tag rc=$rc" >> $RC
+  echo "[r5c] done $tag rc=$rc $(date +%H:%M:%S)"
+}
+
+run_stage eval_sbmc_fmse_exp python scripts/eval_experiment_ckpts.py \
+  --spps 4,8 --glob fmse_exp
+
+run_stage wmanif_sweep timeout 10800 python scripts/manifold_experiment.py \
+  --configs fmse_w1,fmse_w10,fmse_w100 --seeds 2
+
+run_stage lbmc_buf timeout 7200 python scripts/sample_space_experiment.py \
+  --configs lbmc_buf --seeds 3 --epochs 24
+
+echo "[r5c] all done"
