@@ -16,8 +16,22 @@ RC=/tmp/r5_rc.txt
 CHILD=""
 trap '[ -n "$CHILD" ] && kill "$CHILD" 2>/dev/null; wait' EXIT
 
+# Hard deadline (epoch seconds): no stage STARTS after this, and any
+# in-flight stage is truncated to the time remaining, so the chip is
+# guaranteed free for the driver's end-of-round bench.
+DEADLINE=${R5C_DEADLINE:-0}
+
 run_stage() {
   local tag="$1"; shift
+  if [ "$DEADLINE" -gt 0 ]; then
+    local left=$((DEADLINE - $(date +%s)))
+    if [ "$left" -lt 120 ]; then
+      echo "$tag rc=SKIPPED-deadline" >> $RC
+      echo "[r5c] skip $tag (deadline) $(date +%H:%M:%S)"
+      return
+    fi
+    set -- timeout "$left" "$@"
+  fi
   echo "[r5c] start $tag $(date +%H:%M:%S)"
   "$@" &
   CHILD=$!
@@ -30,10 +44,14 @@ run_stage() {
 run_stage eval_sbmc_fmse_exp python scripts/eval_experiment_ckpts.py \
   --spps 4,8 --glob fmse_exp
 
-run_stage wmanif_sweep timeout 10800 python scripts/manifold_experiment.py \
-  --configs fmse_w1,fmse_w10,fmse_w100 --seeds 2
-
+# lbmc_buf before the w_manif sweep: it is ~6x cheaper (LayerNet
+# 24-epoch runs are ~3 min each) and completes the LBMC collapse
+# story; the sweep appends per-run so a deadline truncation still
+# lands partial results.
 run_stage lbmc_buf timeout 7200 python scripts/sample_space_experiment.py \
   --configs lbmc_buf --seeds 3 --epochs 24
+
+run_stage wmanif_sweep timeout 10800 python scripts/manifold_experiment.py \
+  --configs fmse_w1,fmse_w10,fmse_w100 --seeds 2
 
 echo "[r5c] all done"
