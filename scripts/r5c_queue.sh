@@ -41,8 +41,13 @@ run_stage() {
   echo "[r5c] done $tag rc=$rc $(date +%H:%M:%S)"
 }
 
-run_stage eval_sbmc_fmse_exp python scripts/eval_experiment_ckpts.py \
-  --spps 4,8 --glob fmse_exp
+# spp 8 ONLY: every committed sample-space eval is spp-8 (cached
+# compile); the spp-4 sample-space tile shape stalled r5b's eval
+# stage >45 min in remote compile (same pathology family as the
+# 512-px KPCN tile). `_exp` catches sbmc_exp_* AND sbmc_fmse_exp_*;
+# legacy expr4 tags already have results_8.csv and are skipped.
+run_stage eval_exp_ckpts python scripts/eval_experiment_ckpts.py \
+  --spps 8 --glob _exp
 
 # lbmc_buf before the w_manif sweep: it is ~6x cheaper (LayerNet
 # 24-epoch runs are ~3 min each) and completes the LBMC collapse
