@@ -38,26 +38,40 @@ def train_epoch(epoch, interfaces, dataloaders, params, args, verbose=True):
         iface.to_train_mode()
     writer = params.get("metrics_writer")
     timer = params.setdefault("step_timer", _new_timer())
+    # Bound dispatch runahead: each dispatched-but-unexecuted step pins
+    # its whole host batch (~120 MB with LLPM paths) in transfer
+    # buffers, and the only implicit syncs (loss logging / finite
+    # checks) are 50+ steps apart — on the axon tunnel that let the
+    # r5 disk-CLI run grow ~2.6 GB/min of staging RSS. Keep a lagged
+    # loss scalar per step and read back step N-K before dispatching
+    # step N+1 (same pattern as evaluate.inference's in-flight window).
+    # K deep keeps the device pipeline full; the readback overlaps the
+    # K outstanding steps. 0 disables.
+    max_in_flight = int(os.environ.get("WCMC_TRAIN_IN_FLIGHT", "8"))
+    lagged: list = []
     n_batches = 0
     for batch in dataloaders["train"]:
         n_batches += 1
         for iface in interfaces:
             iface.preprocess(batch)
             loss_dict = iface.train_batch(batch)
+            if max_in_flight > 0 and loss_dict:
+                lagged.append(next(iter(loss_dict.values())))
+                if len(lagged) > max_in_flight:
+                    float(lagged.pop(0))  # host readback = reliable sync
             timer.tick()
             if writer is not None and iface.iters % 50 == 0:
                 writer.log(iface.iters, loss_dict, prefix="train/")
                 writer.log(iface.iters, {"step_ms": timer.mean_ms}, prefix="perf/")
+        if writer is not None and n_batches % 128 == 0:
+            # flush partial step times so a truncated run (timeout /
+            # kill) still leaves loader-sustain histogram data
+            _save_step_times(writer.log_dir, epoch, timer.snapshot_ms())
     if writer is not None:
         # per-step wall times for the loader-sustain histogram; steps
         # pipeline asynchronously so individual ticks measure the
         # host-side issue rate, their sum the true epoch throughput
-        all_ms = timer.drain_all_ms()
-        if all_ms:
-            np.save(
-                os.path.join(writer.log_dir, f"step_times_e{epoch}.npy"),
-                np.asarray(all_ms, np.float32),
-            )
+        _save_step_times(writer.log_dir, epoch, timer.drain_all_ms())
     if verbose:
         for iface in interfaces:
             # normalize by batches actually SERVED: shape-partitioned
@@ -72,6 +86,14 @@ def _new_timer():
     from wcmc_tpu.utils.observability import StepTimer
 
     return StepTimer()
+
+
+def _save_step_times(log_dir, epoch, all_ms):
+    if all_ms:
+        np.save(
+            os.path.join(log_dir, f"step_times_e{epoch}.npy"),
+            np.asarray(all_ms, np.float32),
+        )
 
 
 def validate(epoch, interfaces, dataloaders, params, args, verbose=True):

@@ -86,6 +86,11 @@ class StepTimer:
         self._all = []
         return out
 
+    def snapshot_ms(self):
+        """Full per-step history, in ms, WITHOUT clearing — for
+        periodic mid-epoch flushes that must survive a truncated run."""
+        return [1e3 * t for t in self._all]
+
     @property
     def mean_ms(self) -> float:
         if not self._times:
