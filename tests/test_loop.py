@@ -130,3 +130,35 @@ def test_train_loop_not_save(tmp_path, rng):
                  num_epoch=1)
     train([iface], loaders, {}, args, verbose=False)
     assert not (tmp_path / "weights" / "latest_LOOP_nosave.ckpt").exists()
+
+
+def test_in_flight_window_preserves_results(tmp_path, rng, monkeypatch):
+    """The bounded dispatch-runahead window (WCMC_TRAIN_IN_FLIGHT) is a
+    sync-only change: training under a 1-deep window must produce the
+    same losses as with the window disabled."""
+    def run(window):
+        monkeypatch.setenv("WCMC_TRAIN_IN_FLIGHT", window)
+        cfg = TrainConfig(base_model="kpcn", kpcn_ksize=5,
+                          finite_check_every=1, compute_dtype="float32")
+        iface = init_interfaces(cfg)[0]
+        batch = synthetic_batch(
+            np.random.default_rng(7), "kpcn", batch_size=2, patch=48, spp=2)
+        loaders = {"train": ListLoader([batch, batch]),
+                   "val": ListLoader([batch])}
+        args = _args(tmp_path, model_name=f"LOOP_if{window}", num_epoch=1)
+        train([iface], loaders, {}, args, verbose=False)
+        return iface.best_err
+
+    assert run("0") == pytest.approx(run("1"), rel=1e-6)
+
+
+def test_step_timer_snapshot_does_not_drain():
+    from wcmc_tpu.utils.observability import StepTimer
+
+    t = StepTimer()
+    t.tick(); t.tick()
+    snap = t.snapshot_ms()
+    assert len(snap) == len(t.snapshot_ms())  # snapshot is repeatable
+    drained = t.drain_all_ms()
+    assert drained == snap                    # same history, then cleared
+    assert t.drain_all_ms() == []
