@@ -68,11 +68,23 @@ def _sibling_chip_holders() -> list[str]:
     driver's bench hung at backend init for 180 s, with an error string
     blaming the relay. Name the actual suspect in the JSON error so
     the failure is diagnosable from the artifact alone."""
-    me = str(os.getpid())
+    # exclude our own ancestry: wrapper shells / timeout(1) carry
+    # "python bench.py" in their cmdline and would self-flag (r5: a
+    # trap-guarded retry blamed its own bash -c / timeout wrappers)
+    skip = set()
+    pid = os.getpid()
+    while pid > 1:
+        skip.add(str(pid))
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                pid = int(next(l for l in f if l.startswith("PPid"))
+                          .split()[1])
+        except (OSError, StopIteration, ValueError):
+            break
     out = []
     try:
         for pid in os.listdir("/proc"):
-            if not pid.isdigit() or pid == me:
+            if not pid.isdigit() or pid in skip:
                 continue
             try:
                 with open(f"/proc/{pid}/cmdline", "rb") as f:
