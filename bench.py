@@ -103,36 +103,53 @@ def _sibling_chip_holders() -> list[str]:
     return out
 
 
-def _probe_backend(timeout_s: float = 180.0) -> None:
+def _probe_backend(timeout_s: float = 480.0, attempts: int = 2) -> None:
     """Bounded-time device probe in a subprocess.
 
     Initializing the axon backend while the relay is down hangs
     indefinitely (no error); a killable child is the only safe way to
-    find out. A clean child exit releases the chip claim."""
+    find out. A clean child exit releases the chip claim.
+
+    The bound must comfortably exceed a *healthy* first op: after the
+    r5 tunnel degradation the first device op on a recovered relay
+    measures 130-170 s with occasional >480 s stragglers (it was ~15 s
+    earlier in the round), and a 180 s bound produced a false "relay
+    down" red on a working chip. A single retry covers the observed
+    flaky-window pattern (one probe hangs, the next succeeds)."""
     code = (
         "import jax, jax.numpy as jnp; "
         "print(float(jnp.sum(jnp.ones((4,)))), jax.default_backend())"
     )
-    try:
-        res = subprocess.run(
-            [sys.executable, "-c", code],
-            env=dict(os.environ),
-            timeout=timeout_s,
-            capture_output=True,
-        )
-    except subprocess.TimeoutExpired:
-        holders = _sibling_chip_holders()
-        if holders:
-            _fail_json(
-                f"backend init unresponsive after {timeout_s:.0f}s — "
-                "chip likely held by sibling process(es): "
-                + "; ".join(holders[:3])
+    last_reason = "?"
+    for attempt in range(attempts):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code],
+                env=dict(os.environ),
+                timeout=timeout_s,
+                capture_output=True,
             )
-        _fail_json(f"backend init unresponsive after {timeout_s:.0f}s "
-                   "(no chip-holding sibling found — axon relay down?)")
-    if res.returncode != 0:
-        tail = res.stderr.decode(errors="replace").strip().splitlines()
-        _fail_json("backend init failed: " + (tail[-1] if tail else "?"))
+        except subprocess.TimeoutExpired:
+            holders = _sibling_chip_holders()
+            if holders:
+                last_reason = (
+                    f"backend init unresponsive after {timeout_s:.0f}s — "
+                    "chip likely held by sibling process(es): "
+                    + "; ".join(holders[:3])
+                )
+            else:
+                last_reason = (
+                    f"backend init unresponsive after {timeout_s:.0f}s "
+                    "x{} (no chip-holding sibling found — axon relay "
+                    "down or degraded?)".format(attempt + 1)
+                )
+            time.sleep(20)
+            continue
+        if res.returncode != 0:
+            tail = res.stderr.decode(errors="replace").strip().splitlines()
+            _fail_json("backend init failed: " + (tail[-1] if tail else "?"))
+        return
+    _fail_json(last_reason)
 
 
 def main():
