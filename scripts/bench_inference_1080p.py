@@ -64,6 +64,14 @@ def main():
         bs = 1
     if "--tile" in sys.argv:
         tile_h = tile_w = int(sys.argv[sys.argv.index("--tile") + 1])
+    if "--tile_hw" in sys.argv:
+        # rectangular tiles (r5 probe: modest-aspect rectangles keep
+        # XLA's conv emitter in its comfort zone while cutting halo
+        # redundancy vs squares — useful fraction (stride_h/tile_h) *
+        # (stride_w/tile_w) rises with tile_w at fixed conv speed)
+        i = sys.argv.index("--tile_hw")
+        tile_h = int(sys.argv[i + 1])
+        tile_w = int(sys.argv[i + 2])
     if "--bs" in sys.argv:
         bs = int(sys.argv[sys.argv.index("--bs") + 1])
     iface = init_interfaces(

@@ -448,6 +448,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--chunks_per_epoch", type=int, default=8)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--seed_start", type=int, default=0,
+                    help="first seed to run (fill single-seed holes "
+                         "without redoing seed 0)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--configs", type=str, default="vanilla,fmse,grs")
     args = ap.parse_args()
@@ -478,7 +481,7 @@ def main():
           flush=True)
 
     summary = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_start, args.seeds):
         for name in names:
             rows = run(name, CONFIGS[name], args, train_corpus,
                        val_batches, seed)
