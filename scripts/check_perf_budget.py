@@ -55,7 +55,7 @@ def main():
 
     from profile_families import family_times
 
-    fams, _ = family_times(TRACE_DIR, HLO_PATH)
+    fams, _, _ = family_times(TRACE_DIR, HLO_PATH)
     total = sum(fams.values())
     failures = []
     for fam, limit in budget["families"].items():

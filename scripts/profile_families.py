@@ -63,10 +63,11 @@ def classify(inst, op_name, source):
     return "other"
 
 
-def family_times(trace_dir, hlo_path, n_steps=3):
+def family_times(trace_dir, hlo_path, n_steps=3, detail=None):
     meta = hlo_metadata(hlo_path)
     fams = collections.defaultdict(float)
     unattributed = collections.defaultdict(float)
+    detail_insts = collections.defaultdict(float)
     for name, ms in op_events(trace_dir):
         inst = name.split(" = ")[0].lstrip("%")
         op_name, source = meta.get(inst, ("", ""))
@@ -74,13 +75,26 @@ def family_times(trace_dir, hlo_path, n_steps=3):
         fams[fam] += ms / n_steps
         if fam == "other" and not op_name:
             unattributed[inst.split(".")[0]] += ms / n_steps
-    return dict(fams), dict(unattributed)
+        if fam == detail:
+            # bucket by HLO opcode prefix (fusion kind survives in the
+            # instruction name: %fusion / %convolution / %copy ...)
+            detail_insts[(inst.split(".")[0], op_name[:70])] += ms / n_steps
+    return dict(fams), dict(unattributed), dict(detail_insts)
 
 
 def main():
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace_step"
-    hlo_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/step_hlo.txt"
-    fams, unattributed = family_times(trace_dir, hlo_path)
+    args = sys.argv[1:]
+    detail = None
+    if "--detail" in args:
+        i = args.index("--detail")
+        detail = args[i + 1]
+        del args[i:i + 2]
+    argv = [a for a in args if not a.startswith("--")]
+    trace_dir = argv[0] if len(argv) > 0 else "/tmp/jax_trace_step"
+    hlo_path = argv[1] if len(argv) > 1 else "/tmp/step_hlo.txt"
+    fams, unattributed, detail_insts = family_times(
+        trace_dir, hlo_path, detail=detail
+    )
     total = sum(fams.values())
     print(f"total attributed device time: {total:.2f} ms/step")
     for fam, ms in sorted(fams.items(), key=lambda kv: -kv[1]):
@@ -90,6 +104,12 @@ def main():
         print("largest unattributed (no HLO metadata):")
         for k, v in sorted(big.items(), key=lambda kv: -kv[1])[:10]:
             print(f"  {v:7.3f} ms/step  {k}")
+    if detail_insts:
+        print(f"top instructions inside '{detail}':")
+        for (inst, op), v in sorted(
+            detail_insts.items(), key=lambda kv: -kv[1]
+        )[:20]:
+            print(f"  {v:7.3f} ms/step  {inst:<16} {op}")
 
 
 if __name__ == "__main__":
