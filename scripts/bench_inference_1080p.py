@@ -90,9 +90,16 @@ def main():
         import jax
         import jax.numpy as jnp
 
+        # Upload ONE tile and replicate it on device: the throughput
+        # measurement is data-independent, and shipping bs real tiles
+        # through the ~6-21 MB/s axon tunnel (~20 MB/tile) stalled the
+        # bs-16 probe for 20+ min before the chip ever ran.
+        tile0 = {k: jnp.asarray(v) for k, v in ds[0][0].items()}
+        # jnp.tile materializes bs independent copies in HBM (a
+        # broadcast view would alias one tile and understate bandwidth)
         batch = {
-            k: jnp.asarray(np.stack([ds[i][0][k] for i in range(bs)]))
-            for k in ds[0][0]
+            k: jnp.tile(v[None], (bs,) + (1,) * v.ndim)
+            for k, v in tile0.items()
         }
         val = iface._make_val_step()
         states = iface.states
