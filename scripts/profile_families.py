@@ -55,6 +55,9 @@ def classify(inst, op_name, source):
         return "kpcn_conv_bwd"
     if re.search(r"jvp\(KPCN\).*Conv", op_name):
         return "kpcn_conv_fwd"
+    # primal-only graphs (val/inference) carry no jvp prefix
+    if "KPCN" in op_name and ("Conv_" in op_name or "conv" in op_name):
+        return "kpcn_conv_fwd"
     if ("UNet" in op_name or "dual_unet" in op_name
             or "blocks.py" in source):
         return "unet"
