@@ -5,7 +5,9 @@
 export PYTHONPATH="/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
 rm -f /tmp/chip_back.txt
 while true; do
-  if timeout 150 python - <<'EOF' >/tmp/chip_probe.log 2>&1
+  # 600 s bound: post-recovery first device ops have measured 130-480+ s
+  # (CLAUDE.md "Recovery (r5 session 2)"); 150 s produced false negatives.
+  if timeout 600 python - <<'EOF' >/tmp/chip_probe.log 2>&1
 import jax, jax.numpy as jnp
 assert any(d.platform != "cpu" for d in jax.devices())
 print(float(jnp.sum(jnp.ones(4))))
